@@ -1,0 +1,296 @@
+"""TPU-native ConvNeXt audio-tagging trunk.
+
+Re-design of the reference ConvNeXt (pytorch/convnext.py:44-511) as pure
+functions over a parameter pytree:
+
+ - NHWC end-to-end. The reference block permutes NCHW<->NHWC around its
+   LayerNorm/MLP (convnext.py:77-84); here there are no permutes at all.
+ - The "channels_first" LayerNorms of the downsample layers (convnext.py:227,
+   232) become ordinary trailing-axis LayerNorms in NHWC - same math.
+ - bn0, the BatchNorm2d(224) the reference applies by transposing the mel
+   axis into channel position (convnext.py:219,304-306), is applied directly
+   over the trailing mel axis and, in eval mode, folds into one fused
+   scale/shift.
+ - Depthwise 7x7 convs use ``feature_group_count=dim``; pointwise convs are
+   Linear layers on the trailing axis (pure GEMMs on the MXU).
+ - Stochastic depth / SpecAugment / mixup run only when a PRNG key is given.
+
+Parameter pytree schema (shapes for convnext_tiny):
+
+    bn0:        {scale,bias,mean,var}                 (224,)
+    stem:       {conv:{w (kh,kw,1,96), b}, norm:{scale,bias}}
+    downsample: [{norm:{...}, conv:{w (2,2,Cin,Cout), b}} x 3]
+    stages:     [[{dwconv:{w (7,7,1,C), b}, norm, pwconv1:{w (C,4C), b},
+                  pwconv2:{w (4C,C), b}, gamma (C,)} ...] x 4]
+    final_norm: {scale,bias}                          (768,)
+    head:       {w (768,527), b (527,)}
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioset_convnext_inf_tpu.config import ConvNeXtConfig, FrontendConfig
+from audioset_convnext_inf_tpu.models import layers as L
+from audioset_convnext_inf_tpu.ops.frontend import LogMelFrontend
+from audioset_convnext_inf_tpu.ops.specaugment import spec_augment
+from audioset_convnext_inf_tpu.ops.mixup import do_mixup
+
+Array = jnp.ndarray
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: ConvNeXtConfig) -> Params:
+    """Random init matching the reference recipe (trunc_normal std=0.02 for
+    conv/linear weights, zeros bias, ones/zeros norms, gamma=layer_scale)."""
+    dims = cfg.dims
+    (kh, kw), _, _ = cfg.stem_geometry()
+    n_keys = 2 + 3 + sum(cfg.depths) * 3 + 1
+    keys = iter(jax.random.split(key, n_keys))
+
+    params: Params = {
+        "bn0": L.init_batch_norm(cfg.frontend.n_mels),
+        "stem": {
+            "conv": L.init_conv(next(keys), kh, kw, cfg.in_chans, dims[0]),
+            "norm": L.init_layer_norm(dims[0]),
+        },
+        "downsample": [
+            {
+                "norm": L.init_layer_norm(dims[i]),
+                "conv": L.init_conv(next(keys), 2, 2, dims[i], dims[i + 1]),
+            }
+            for i in range(3)
+        ],
+        "stages": [],
+        "final_norm": L.init_layer_norm(dims[-1]),
+        "head": L.init_linear(next(keys), dims[-1], cfg.num_classes),
+    }
+    for i, depth in enumerate(cfg.depths):
+        stage: List[Params] = []
+        for _ in range(depth):
+            dim = dims[i]
+            block = {
+                # depthwise: HWIO with I=1, O=dim (feature_group_count=dim)
+                "dwconv": {
+                    "w": L.trunc_normal(next(keys), (7, 7, 1, dim), std=0.02),
+                    "b": jnp.zeros((dim,)),
+                },
+                "norm": L.init_layer_norm(dim),
+                "pwconv1": L.init_linear(next(keys), dim, 4 * dim),
+                "pwconv2": L.init_linear(next(keys), 4 * dim, dim),
+            }
+            if cfg.layer_scale_init_value > 0:
+                block["gamma"] = cfg.layer_scale_init_value * jnp.ones((dim,))
+            stage.append(block)
+        params["stages"].append(stage)
+
+    if cfg.head_init_scale != 1.0:
+        params["head"]["w"] = params["head"]["w"] * cfg.head_init_scale
+        params["head"]["b"] = params["head"]["b"] * cfg.head_init_scale
+    return params
+
+
+def count_parameters(params: Params) -> int:
+    """Trainable parameter count; excludes bn0 running stats (match of the
+    reference's ``count_parameters`` which sums p.requires_grad only)."""
+
+    def _count(path, leaf):
+        name = path[-1] if path else ""
+        return 0 if name in ("mean", "var") else leaf.size
+
+    leaves = _flatten_with_names(params)
+    return sum(_count(p, l) for p, l in leaves)
+
+
+def _flatten_with_names(tree, prefix=()) -> List[Tuple[Tuple[str, ...], Array]]:
+    out = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.extend(_flatten_with_names(v, prefix + (k,)))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.extend(_flatten_with_names(v, prefix + (str(i),)))
+    else:
+        out.append((prefix, tree))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _block_apply(
+    x: Array, p: Params, eps: float, drop_prob: float, key: Optional[jax.Array]
+) -> Array:
+    """ConvNeXt block (reference convnext.py:74-87), NHWC throughout."""
+    dim = x.shape[-1]
+    shortcut = x
+    x = L.conv2d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=(3, 3), feature_group_count=dim)
+    x = L.layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps)
+    x = L.linear(x, p["pwconv1"]["w"], p["pwconv1"]["b"])
+    x = L.gelu(x)
+    x = L.linear(x, p["pwconv2"]["w"], p["pwconv2"]["b"])
+    if "gamma" in p:
+        x = x * p["gamma"].astype(x.dtype)
+    x = L.drop_path(x, key, drop_prob)
+    return shortcut + x
+
+
+def forward_features(
+    x: Array,
+    params: Params,
+    cfg: ConvNeXtConfig,
+    train_key: Optional[jax.Array] = None,
+    return_frame_embeddings: bool = False,
+) -> Array:
+    """Spectrogram image (B, T, M, 1) -> pooled (B, C) or frames (B, H, W, C).
+
+    Mirrors reference forward_features (convnext.py:269-285): 4x
+    (downsample, stage), then freq-mean + time-(max+mean) pooling and final
+    LayerNorm; frame embeddings return *pre*-norm stage-4 output.
+    """
+    (_, _), stride, pad = cfg.stem_geometry()
+    dp_rates = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
+    if train_key is not None:
+        block_keys = jax.random.split(train_key, sum(cfg.depths))
+    cur = 0
+
+    for i in range(4):
+        if i == 0:
+            x = L.conv2d(x, params["stem"]["conv"]["w"], params["stem"]["conv"]["b"], stride=stride, padding=pad)
+            x = L.layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], cfg.ln_eps)
+        else:
+            d = params["downsample"][i - 1]
+            x = L.layer_norm(x, d["norm"]["scale"], d["norm"]["bias"], cfg.ln_eps)
+            x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
+        for j, block in enumerate(params["stages"][i]):
+            k = block_keys[cur + j] if train_key is not None else None
+            x = _block_apply(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k)
+        cur += cfg.depths[i]
+
+    if return_frame_embeddings:
+        return x  # (B, H=31, W=7, C) pre-norm, reference convnext.py:276-277
+
+    # Pool: mean over freq (W), then max+mean over time (H). NHWC: W=axis 2.
+    x = jnp.mean(x, axis=2)  # (B, H, C)
+    x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)  # (B, C)
+    return L.layer_norm(x, params["final_norm"]["scale"], params["final_norm"]["bias"], cfg.ln_eps)
+
+
+def _frontend_and_bn0(
+    waveform_or_spec: Array,
+    params: Params,
+    cfg: ConvNeXtConfig,
+    frontend: Optional[LogMelFrontend],
+    train: bool,
+    key: Optional[jax.Array],
+    mixup_lambda: Optional[Array],
+    compute_dtype=jnp.float32,
+) -> Array:
+    """Waveform (B, N) -> augmented, normalized spectrogram image (B, T, M, 1).
+
+    Replicates the shared prologue of the reference's three forward variants
+    (convnext.py:287-316): logmel frontend, bn0 over the mel axis,
+    SpecAugment (train), mixup (train).
+    """
+    if waveform_or_spec.ndim == 1:  # unbatched waveform convenience
+        waveform_or_spec = waveform_or_spec[None, :]
+    if waveform_or_spec.ndim == 2:
+        if frontend is None:
+            frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
+        spec = frontend(waveform_or_spec)  # (B, 1, T, M)
+        x = jnp.transpose(spec, (0, 2, 3, 1))  # NHWC: (B, T, M, 1)
+    else:
+        x = waveform_or_spec  # already (B, T, M, 1)
+
+    x = x.astype(compute_dtype)
+
+    # bn0 over mel axis. NHWC mel is axis 2.
+    bn_axis = 2
+    xm = jnp.squeeze(x, axis=-1)  # (B, T, M)
+    if train:
+        # batch stats path; running-stat update is handled by the trainer via
+        # models.convnext.bn0_train_stats to keep this function pure.
+        xm = L.batch_norm_train(xm, params["bn0"], eps=cfg.bn_eps, axis=bn_axis)[0]
+    else:
+        xm = L.batch_norm_apply(xm, params["bn0"], eps=cfg.bn_eps, axis=bn_axis)
+    x = xm[..., None]
+
+    if train and cfg.augment.use_spec_augment and key is not None:
+        key, sk = jax.random.split(key)
+        x = spec_augment(
+            sk,
+            x,
+            time_axis=1,
+            freq_axis=2,
+            cfg=cfg.augment.spec_augment,
+        )
+
+    if train and mixup_lambda is not None:
+        x = do_mixup(x, mixup_lambda)
+
+    return x
+
+
+def forward(
+    params: Params,
+    waveform: Array,
+    cfg: ConvNeXtConfig,
+    frontend: Optional[LogMelFrontend] = None,
+    train_key: Optional[jax.Array] = None,
+    mixup_lambda: Optional[Array] = None,
+    compute_dtype=jnp.float32,
+) -> Dict[str, Array]:
+    """Full forward (reference convnext.py:287-331).
+
+    Returns {"clipwise_output": sigmoid probs, "clipwise_logits": logits}.
+    ``train_key=None`` = eval mode (no SpecAugment/DropPath/mixup).
+    """
+    train = train_key is not None
+    if train:
+        train_key, aug_key, dp_key = jax.random.split(train_key, 3)
+    else:
+        aug_key = dp_key = None
+    x = _frontend_and_bn0(waveform, params, cfg, frontend, train, aug_key, mixup_lambda, compute_dtype)
+    emb = forward_features(x, params, cfg, train_key=dp_key)
+    logits = L.linear(emb, params["head"]["w"], params["head"]["b"]).astype(jnp.float32)
+    return {"clipwise_output": jax.nn.sigmoid(logits), "clipwise_logits": logits}
+
+
+def forward_scene_embeddings(
+    params: Params,
+    waveform: Array,
+    cfg: ConvNeXtConfig,
+    frontend: Optional[LogMelFrontend] = None,
+    compute_dtype=jnp.float32,
+) -> Array:
+    """(B, N) -> (B, embed_dim) post-norm pooled embedding (convnext.py:333-366)."""
+    x = _frontend_and_bn0(waveform, params, cfg, frontend, False, None, None, compute_dtype)
+    return forward_features(x, params, cfg)
+
+
+def forward_frame_embeddings(
+    params: Params,
+    waveform: Array,
+    cfg: ConvNeXtConfig,
+    frontend: Optional[LogMelFrontend] = None,
+    compute_dtype=jnp.float32,
+) -> Array:
+    """(B, N) -> (B, C, H, W) pre-norm frame embeddings (convnext.py:369-402).
+
+    Returned in the reference's NCHW layout (B, 768, 31, 7) for API parity;
+    internally everything is NHWC and only this output view transposes.
+    """
+    x = _frontend_and_bn0(waveform, params, cfg, frontend, False, None, None, compute_dtype)
+    feats = forward_features(x, params, cfg, return_frame_embeddings=True)
+    return jnp.transpose(feats, (0, 3, 1, 2))

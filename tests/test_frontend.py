@@ -1,0 +1,103 @@
+"""Frontend parity tests: framing, STFT-vs-torch, mel bank vs transformers."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from audioset_convnext_inf_tpu.config import FrontendConfig
+from audioset_convnext_inf_tpu.ops.frontend import (
+    LogMelFrontend,
+    frame_signal,
+    hann_window_periodic,
+    log_mel_spectrogram,
+    mel_filterbank,
+    power_spectrogram,
+)
+
+
+def test_frame_signal_matches_naive(rng):
+    n_fft, hop, num_frames = 1024, 320, 11
+    length = (num_frames - 1) * hop + n_fft
+    x = rng.randn(2, length).astype(np.float32)
+    frames = np.asarray(frame_signal(jnp.asarray(x), n_fft, hop, num_frames))
+    for i in range(num_frames):
+        np.testing.assert_array_equal(frames[:, i, :], x[:, i * hop : i * hop + n_fft])
+
+
+def test_hann_window_matches_torch():
+    import torch
+
+    w = hann_window_periodic(1024)
+    wt = torch.hann_window(1024, periodic=True, dtype=torch.float64).numpy()
+    np.testing.assert_allclose(w, wt, atol=1e-12)
+
+
+def test_power_spectrogram_matches_torch_stft(rng):
+    import torch
+
+    cfg = FrontendConfig()
+    n = 32000  # 1 second keeps the test fast
+    x = rng.randn(2, n).astype(np.float32)
+    ours = np.asarray(power_spectrogram(jnp.asarray(x), cfg))
+
+    window = torch.hann_window(1024, periodic=True, dtype=torch.float64)
+    ref = torch.stft(
+        torch.from_numpy(x).double(),
+        n_fft=1024,
+        hop_length=320,
+        win_length=1024,
+        window=window,
+        center=True,
+        pad_mode="reflect",
+        return_complex=True,
+    )
+    ref_power = (ref.real**2 + ref.imag**2).transpose(1, 2).numpy()  # (B, T, F)
+
+    assert ours.shape == ref_power.shape == (2, cfg.num_frames(n), 513)
+    # float32 GEMM-DFT vs float64 FFT: relative tolerance scaled by spectrum peak
+    np.testing.assert_allclose(ours, ref_power, atol=1e-2 * ref_power.max(), rtol=2e-3)
+
+
+def test_num_frames_ten_seconds():
+    cfg = FrontendConfig()
+    assert cfg.num_frames(320000) == 1001  # SURVEY.md section 7.3
+
+
+def test_mel_filterbank_matches_transformers():
+    from transformers.audio_utils import mel_filter_bank
+
+    ours = mel_filterbank(32000, 1024, 224, 50.0, 14000.0, dtype=np.float64)
+    ref = mel_filter_bank(
+        num_frequency_bins=513,
+        num_mel_filters=224,
+        min_frequency=50.0,
+        max_frequency=14000.0,
+        sampling_rate=32000,
+        norm="slaney",
+        mel_scale="slaney",
+    ).T  # transformers returns (freq, mel)
+    assert ref.shape == ours.shape == (224, 513)
+    np.testing.assert_allclose(ours, ref, atol=1e-10)
+
+
+def test_log_mel_pipeline_matches_torch_oracle(rng):
+    from tests.torch_oracle import oracle_logmel
+
+    cfg = FrontendConfig()
+    x = (rng.randn(2, 32000) * 0.1).astype(np.float32)
+    mel_w = mel_filterbank(32000, 1024, 224, 50.0, 14000.0, dtype=np.float64)
+    ref = oracle_logmel(x, mel_w)
+    ours = np.asarray(log_mel_spectrogram(jnp.asarray(x), cfg))
+    assert ours.shape == ref.shape
+    # log-domain comparison: tight absolute tolerance in dB
+    np.testing.assert_allclose(ours, ref, atol=2e-2)
+
+
+def test_frontend_callable_shapes():
+    fe = LogMelFrontend(FrontendConfig())
+    x = jnp.zeros((3, 320000), jnp.float32)
+    out = fe(x)
+    assert out.shape == (3, 1, 1001, 224)
+    # all-zero signal: log10(clip(0, 1e-10)) * 10 = -100 everywhere
+    np.testing.assert_allclose(np.asarray(out), -100.0, atol=1e-3)

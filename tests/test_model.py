@@ -1,0 +1,96 @@
+"""Model structure tests: parameter counts, shapes, stem geometry, factories."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+from audioset_convnext_inf_tpu.models import (
+    MODEL_REGISTRY,
+    convnext_tiny,
+    create_model,
+)
+from audioset_convnext_inf_tpu.models import convnext as F
+
+
+def test_tiny_param_count_matches_reference():
+    # reference README.md:49 / scripts/demo_convnext.sbatch.output:3
+    m = convnext_tiny(drop_path_rate=0.0, seed=0)
+    assert m.count_parameters() == 28_222_767
+
+
+def test_output_shapes_match_golden():
+    m = convnext_tiny(drop_path_rate=0.0, seed=0)
+    x = np.zeros((1, 320000), np.float32)
+    out = m.forward(x)
+    assert out["clipwise_logits"].shape == (1, 527)
+    assert out["clipwise_output"].shape == (1, 527)
+    assert m.forward_scene_embeddings(x).shape == (1, 768)
+    # golden frame embedding shape (1, 768, 31, 7): demo_convnext.sbatch.output
+    assert m.forward_frame_embeddings(x).shape == (1, 768, 31, 7)
+
+
+def test_probs_are_sigmoid_of_logits():
+    m = convnext_tiny(drop_path_rate=0.0, seed=0)
+    x = np.random.RandomState(0).randn(1, 32000).astype(np.float32) * 0.1
+    out = m.forward(x)
+    np.testing.assert_allclose(
+        np.asarray(out["clipwise_output"]),
+        1.0 / (1.0 + np.exp(-np.asarray(out["clipwise_logits"]))),
+        atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize(
+    "after_stem_dim,expected_hw",
+    [((252, 56), (252, 56)), ((504, 28), (504, 28)), ((504, 56), (504, 56)),
+     ((56,), (56, 56)), ((112,), (112, 112))],
+)
+def test_stem_geometry_output_dims(after_stem_dim, expected_hw):
+    """Audio stems must reproduce the reference's post-stem spatial dims
+    on a 1001x224 spectrogram (reference convnext.py:674-707)."""
+    from audioset_convnext_inf_tpu.models import layers as L
+
+    cfg = ConvNeXtConfig(after_stem_dim=after_stem_dim)
+    (kh, kw), stride, pad = cfg.stem_geometry()
+    x = jnp.zeros((1, 1001, 224, 1))
+    w = jnp.zeros((kh, kw, 1, 96))
+    y = L.conv2d(x, w, stride=stride, padding=pad)
+    assert y.shape[1:3] == expected_hw
+
+
+def test_all_factories_build():
+    for name in MODEL_REGISTRY:
+        m = create_model(name, drop_path_rate=0.0, seed=0)
+        assert m.count_parameters() > 0, name
+
+
+@pytest.mark.parametrize("name", ["convnext_atto", "convnext_nano"])
+def test_small_factories_forward(name):
+    # forward the small variants only: compiling all 7 trunks on CPU is slow
+    x = np.zeros((1, 32000), np.float32)
+    m = create_model(name, drop_path_rate=0.0, seed=0)
+    out = m.forward(x)
+    assert out["clipwise_logits"].shape == (1, 527), name
+
+
+def test_train_forward_runs_with_augment():
+    cfg = ConvNeXtConfig(drop_path_rate=0.1)
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 32000).astype(np.float32))
+    out = F.forward(params, x, cfg, train_key=jax.random.PRNGKey(1))
+    assert out["clipwise_logits"].shape == (4, 527)
+    assert np.isfinite(np.asarray(out["clipwise_logits"])).all()
+
+
+def test_mixup_halves_batch():
+    from audioset_convnext_inf_tpu.ops.mixup import do_mixup, get_mixup_lambda
+
+    lam = get_mixup_lambda(jax.random.PRNGKey(0), 8, alpha=1.0)
+    assert lam.shape == (8,)
+    np.testing.assert_allclose(np.asarray(lam[0::2] + lam[1::2]), 1.0, atol=1e-6)
+    x = jnp.arange(8.0)[:, None] * jnp.ones((8, 3))
+    mixed = do_mixup(x, lam)
+    assert mixed.shape == (4, 3)
