@@ -1,0 +1,83 @@
+"""Host-side audio IO and sample-format utilities.
+
+Replaces the reference's soundfile/librosa/torchaudio host stack
+(utils/dataset.py:202-237, demo_convnext.py:52-69) with scipy + numpy:
+WAV reading via scipy.io.wavfile, high-quality resampling via polyphase
+filtering (scipy.signal.resample_poly, Kaiser window - the same algorithm
+class as librosa's kaiser_best), int16<->float32 conversion with the
+reference's exact scaling (utilities.py:220-227).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+
+def float32_to_int16(x: np.ndarray) -> np.ndarray:
+    """Clip to [-1, 1] and scale by 32767 (utilities.py:220-223)."""
+    x = np.clip(x, -1, 1)
+    return (x * 32767.0).astype(np.int16)
+
+
+def int16_to_float32(x: np.ndarray) -> np.ndarray:
+    """x / 32767 (utilities.py:226-227)."""
+    return (x / 32767.0).astype(np.float32)
+
+
+def pad_or_truncate(x: np.ndarray, audio_length: int) -> np.ndarray:
+    """Zero-pad tail or left-crop to exactly ``audio_length`` samples
+    (utilities.py:230-235)."""
+    if len(x) <= audio_length:
+        return np.concatenate((x, np.zeros(audio_length - len(x), dtype=x.dtype)))
+    return x[:audio_length]
+
+
+def decimate_resample(waveform: np.ndarray, sample_rate: int) -> np.ndarray:
+    """Stride-decimation 32k -> {32k,16k,8k} (data_generator.py:107-123)."""
+    if sample_rate == 32000:
+        return waveform
+    if sample_rate == 16000:
+        return waveform[0::2]
+    if sample_rate == 8000:
+        return waveform[0::4]
+    raise ValueError("Incorrect sample rate! (must be 8000/16000/32000)")
+
+
+def resample_poly(waveform: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling with a Kaiser-windowed lowpass."""
+    if orig_sr == target_sr:
+        return waveform.astype(np.float32, copy=False)
+    from scipy import signal
+
+    g = math.gcd(int(orig_sr), int(target_sr))
+    up, down = target_sr // g, orig_sr // g
+    out = signal.resample_poly(waveform.astype(np.float64), up, down)
+    return out.astype(np.float32)
+
+
+def read_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 waveform in [-1, 1], sample_rate).
+
+    Optionally downmixes to mono (channel mean, like soundfile+mean in
+    dataset.py:204-207) and resamples to ``target_sr``.
+    """
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        x = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        x = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        x = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        x = data.astype(np.float32)
+    if mono and x.ndim > 1:
+        x = x.mean(axis=1)
+    if target_sr is not None and sr != target_sr:
+        x = resample_poly(x, sr, target_sr)
+        sr = target_sr
+    return x, sr

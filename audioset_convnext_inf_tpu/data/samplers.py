@@ -1,0 +1,214 @@
+"""Batch-meta samplers with resumable state.
+
+Behavioral ports of utils/data_generator.py:126-501:
+
+ - :class:`TrainSampler` - infinite uniform-shuffle sampler
+ - :class:`BalancedTrainSampler` - class-queue round-robin with per-class
+   pointers (equal sampling across the 527 classes)
+ - :class:`AlternateTrainSampler` - alternates the two per batch
+ - :class:`EvaluateSampler` - finite sequential batches with targets
+
+All train samplers support ``state_dict`` / ``load_state_dict`` so training
+resume reproduces the exact data order (reference main.py:714-717), and
+honor a blacklist CSV of audio-name prefixes (data_generator.py:17-24,209).
+"""
+
+from __future__ import annotations
+
+import csv
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from audioset_convnext_inf_tpu.data.hdf5_dataset import load_index
+
+
+def read_black_list(black_list_csv: str) -> List[str]:
+    with open(black_list_csv, "r") as fr:
+        return [line[0] for line in csv.reader(fr)]
+
+
+class _Base:
+    def __init__(
+        self,
+        indexes_hdf5_path: str,
+        batch_size: int,
+        black_list_csv: Optional[str] = None,
+        random_seed: int = 1234,
+    ):
+        self.batch_size = batch_size
+        self.random_state = np.random.RandomState(random_seed)
+        self.black_list_names = set(read_black_list(black_list_csv)) if black_list_csv else set()
+        idx = load_index(indexes_hdf5_path)
+        self.audio_names = idx["audio_names"]
+        self.hdf5_paths = idx["hdf5_paths"]
+        self.indexes_in_hdf5 = idx["indexes_in_hdf5"]
+        self.targets = idx["targets"]
+        self.audios_num, self.classes_num = self.targets.shape
+
+    def _blacklisted(self, index: int) -> bool:
+        # reference strips the trailing "_<start>_<end>" suffix chars
+        # (data_generator.py:209): audio_name[:-9]
+        return self.audio_names[index][:-9] in self.black_list_names
+
+    def _meta(self, index: int) -> dict:
+        return {
+            "hdf5_path": self.hdf5_paths[index],
+            "index_in_hdf5": int(self.indexes_in_hdf5[index]),
+        }
+
+
+class TrainSampler(_Base):
+    """Infinite uniform sampler (data_generator.py:163-228)."""
+
+    def __init__(self, indexes_hdf5_path, batch_size, black_list_csv=None, random_seed=1234):
+        super().__init__(indexes_hdf5_path, batch_size, black_list_csv, random_seed)
+        self.indexes = np.arange(self.audios_num)
+        self.random_state.shuffle(self.indexes)
+        self.pointer = 0
+
+    def _next_index(self) -> int:
+        index = self.indexes[self.pointer]
+        self.pointer += 1
+        if self.pointer >= self.audios_num:
+            self.pointer = 0
+            self.random_state.shuffle(self.indexes)
+        return index
+
+    def __iter__(self) -> Iterator[List[dict]]:
+        while True:
+            batch_meta = []
+            while len(batch_meta) < self.batch_size:
+                index = self._next_index()
+                if self._blacklisted(index):
+                    continue
+                batch_meta.append(self._meta(index))
+            yield batch_meta
+
+    def state_dict(self) -> dict:
+        # copies, not views: the in-place epoch reshuffle must not mutate a
+        # captured state (the reference aliases here and relies on pickling)
+        return {"indexes": self.indexes.copy(), "pointer": self.pointer}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.indexes = np.asarray(state["indexes"]).copy()
+        self.pointer = state["pointer"]
+
+
+class BalancedTrainSampler(_Base):
+    """Class-balanced sampler (data_generator.py:231-331)."""
+
+    def __init__(self, indexes_hdf5_path, batch_size, black_list_csv=None, random_seed=1234):
+        super().__init__(indexes_hdf5_path, batch_size, black_list_csv, random_seed)
+        self.samples_num_per_class = np.sum(self.targets, axis=0)
+        self.indexes_per_class = [
+            np.where(self.targets[:, k] == 1)[0] for k in range(self.classes_num)
+        ]
+        for k in range(self.classes_num):
+            self.random_state.shuffle(self.indexes_per_class[k])
+        self.queue: List[int] = []
+        self.pointers_of_classes = [0] * self.classes_num
+
+    def _expand_queue(self) -> None:
+        classes_set = np.arange(self.classes_num).tolist()
+        self.random_state.shuffle(classes_set)
+        self.queue += classes_set
+
+    def _next_index(self) -> int:
+        # skip classes with no positive samples (the reference would crash
+        # here; real AudioSet index sets populate every class)
+        while True:
+            if not self.queue:
+                self._expand_queue()
+            class_id = self.queue.pop(0)
+            if self.samples_num_per_class[class_id] > 0:
+                break
+        pointer = self.pointers_of_classes[class_id]
+        self.pointers_of_classes[class_id] += 1
+        index = self.indexes_per_class[class_id][pointer]
+        if self.pointers_of_classes[class_id] >= self.samples_num_per_class[class_id]:
+            self.pointers_of_classes[class_id] = 0
+            self.random_state.shuffle(self.indexes_per_class[class_id])
+        return index
+
+    def __iter__(self) -> Iterator[List[dict]]:
+        while True:
+            batch_meta = []
+            while len(batch_meta) < self.batch_size:
+                index = self._next_index()
+                if self._blacklisted(index):
+                    continue
+                batch_meta.append(self._meta(index))
+            yield batch_meta
+
+    def state_dict(self) -> dict:
+        return {
+            "indexes_per_class": [a.copy() for a in self.indexes_per_class],
+            "queue": list(self.queue),
+            "pointers_of_classes": list(self.pointers_of_classes),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.indexes_per_class = [np.asarray(a).copy() for a in state["indexes_per_class"]]
+        self.queue = list(state["queue"])
+        self.pointers_of_classes = list(state["pointers_of_classes"])
+
+
+class AlternateTrainSampler:
+    """Alternates uniform and balanced batches (data_generator.py:334-448)."""
+
+    def __init__(self, indexes_hdf5_path, batch_size, black_list_csv=None, random_seed=1234):
+        self.sampler1 = TrainSampler(indexes_hdf5_path, batch_size, black_list_csv, random_seed)
+        self.sampler2 = BalancedTrainSampler(indexes_hdf5_path, batch_size, black_list_csv, random_seed)
+        self.batch_size = batch_size
+        self.count = 0
+
+    def __iter__(self) -> Iterator[List[dict]]:
+        while True:
+            self.count += 1
+            sampler = self.sampler1 if self.count % 2 == 0 else self.sampler2
+            batch_meta = []
+            while len(batch_meta) < self.batch_size:
+                index = sampler._next_index()
+                if sampler._blacklisted(index):
+                    continue
+                batch_meta.append(sampler._meta(index))
+            yield batch_meta
+
+    def state_dict(self) -> dict:
+        return {
+            "sampler1": self.sampler1.state_dict(),
+            "sampler2": self.sampler2.state_dict(),
+            "count": self.count,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.sampler1.load_state_dict(state["sampler1"])
+        self.sampler2.load_state_dict(state["sampler2"])
+        self.count = state.get("count", 0)
+
+
+class EvaluateSampler:
+    """Finite sequential sampler with targets (data_generator.py:451-501)."""
+
+    def __init__(self, indexes_hdf5_path: str, batch_size: int):
+        self.batch_size = batch_size
+        idx = load_index(indexes_hdf5_path)
+        self.audio_names = idx["audio_names"]
+        self.hdf5_paths = idx["hdf5_paths"]
+        self.indexes_in_hdf5 = idx["indexes_in_hdf5"]
+        self.targets = idx["targets"]
+        self.audios_num = len(self.audio_names)
+
+    def __iter__(self) -> Iterator[List[dict]]:
+        for start in range(0, self.audios_num, self.batch_size):
+            end = min(start + self.batch_size, self.audios_num)
+            yield [
+                {
+                    "audio_name": self.audio_names[i],
+                    "hdf5_path": self.hdf5_paths[i],
+                    "index_in_hdf5": int(self.indexes_in_hdf5[i]),
+                    "target": self.targets[i],
+                }
+                for i in range(start, end)
+            ]

@@ -1,0 +1,81 @@
+"""Batched, mesh-sharded evaluation engine.
+
+The reference's eval loop (pytorch_utils.forward:63-137 + Evaluator:12-60)
+is a per-batch H2D/D2H ping-pong. The TPU-native loop:
+
+ - one jit-compiled forward specialized to a fixed batch shape (final
+   partial batch zero-padded, trimmed after gather),
+ - batches device_put with the leading dim sharded across the ``data`` mesh
+   axis (each chip sees batch/n_devices clips - XLA runs fully in parallel,
+   no hand-written collectives),
+ - host transfer only of the (B, 527) outputs, accumulated in numpy,
+ - metric computation host-side via sklearn (engine/metrics.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+from audioset_convnext_inf_tpu.engine import metrics as M
+from audioset_convnext_inf_tpu.models import convnext as F
+from audioset_convnext_inf_tpu.ops.frontend import LogMelFrontend
+from audioset_convnext_inf_tpu.parallel.mesh import batch_sharding, get_mesh
+
+
+class Evaluator:
+    """Evaluator.evaluate(loader) -> per-class statistics (evaluate.py:22-60)."""
+
+    def __init__(
+        self,
+        params: Any,
+        cfg: ConvNeXtConfig,
+        mesh=None,
+        compute_dtype=jnp.float32,
+        donate: bool = False,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.compute_dtype = compute_dtype
+        frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
+
+        def _forward(params, waveform):
+            out = F.forward(params, waveform, cfg, frontend=frontend, compute_dtype=compute_dtype)
+            return out["clipwise_output"]
+
+        self._sharding = batch_sharding(self.mesh)
+        self._forward = jax.jit(
+            _forward,
+            in_shardings=(None, self._sharding),
+            out_shardings=self._sharding,
+        )
+
+    def infer_probs(self, loader: Iterable) -> Dict[str, np.ndarray]:
+        """Forward every batch; returns {'clipwise_output', 'target'} (N, C)."""
+        probs_chunks, target_chunks = [], []
+        n_dev = self.mesh.size
+        for batch in loader:
+            wav = batch["waveform"].astype(np.float32)
+            n = batch.get("valid", wav.shape[0])
+            pad = (-wav.shape[0]) % n_dev
+            if pad:
+                wav = np.pad(wav, ((0, pad), (0, 0)))
+            wav_dev = jax.device_put(wav, self._sharding)
+            probs = np.asarray(self._forward(self.params, wav_dev))[:n]
+            probs_chunks.append(probs)
+            if "target" in batch:
+                target_chunks.append(np.asarray(batch["target"])[:n])
+        out = {"clipwise_output": np.concatenate(probs_chunks)}
+        if target_chunks:
+            out["target"] = np.concatenate(target_chunks)
+        return out
+
+    def evaluate(self, loader: Iterable) -> Dict[str, np.ndarray]:
+        out = self.infer_probs(loader)
+        return M.evaluate_clipwise(out["clipwise_output"], out["target"])

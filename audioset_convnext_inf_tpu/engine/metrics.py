@@ -1,0 +1,55 @@
+"""Evaluation metrics: per-class AP, ROC-AUC, d-prime.
+
+Same math as the reference Evaluator (pytorch/evaluate.py:44-58) and
+utilities.d_prime (utilities.py:246-248); runs host-side on gathered
+outputs. Classes without positives (or without negatives) are excluded the
+way sklearn's ``average=None`` would raise - we mask them to NaN and report
+nanmeans, which matches the reference's behavior on the official eval sets
+(every class populated => identical numbers).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+from scipy.stats import norm
+from sklearn import metrics as skm
+
+
+def d_prime(auc: np.ndarray) -> np.ndarray:
+    return np.sqrt(2.0) * norm.ppf(auc)
+
+
+def evaluate_clipwise(
+    clipwise_output: np.ndarray, target: np.ndarray
+) -> Dict[str, np.ndarray]:
+    """(N, C) probs + (N, C) multi-hot targets -> per-class statistics dict
+    {'average_precision', 'auc', 'd_prime'} (each (C,))."""
+    target = np.asarray(target)
+    clipwise_output = np.asarray(clipwise_output)
+    n_classes = target.shape[1]
+
+    pos = target.sum(axis=0)
+    valid = (pos > 0) & (pos < target.shape[0])
+
+    ap = np.full(n_classes, np.nan)
+    auc = np.full(n_classes, np.nan)
+    if valid.all():
+        ap = skm.average_precision_score(target, clipwise_output, average=None)
+        auc = skm.roc_auc_score(target, clipwise_output, average=None)
+    else:
+        idx = np.where(valid)[0]
+        if len(idx):
+            ap[idx] = skm.average_precision_score(target[:, idx], clipwise_output[:, idx], average=None)
+            auc[idx] = skm.roc_auc_score(target[:, idx], clipwise_output[:, idx], average=None)
+
+    return {"average_precision": ap, "auc": auc, "d_prime": d_prime(auc)}
+
+
+def summarize(statistics: Dict[str, np.ndarray]) -> Dict[str, float]:
+    """Macro averages: mAP / mAUC / d-prime(mean AUC) as printed by
+    evaluate_convnext_on_audioset.py:93-105."""
+    m_ap = float(np.nanmean(statistics["average_precision"]))
+    m_auc = float(np.nanmean(statistics["auc"]))
+    return {"mAP": m_ap, "mAUC": m_auc, "dprime": float(d_prime(np.array(m_auc)))}

@@ -1,0 +1,127 @@
+"""Engine tests: metrics parity vs sklearn direct, sharded evaluator on the
+8-device virtual mesh, long-audio windows, embedding extraction."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+from audioset_convnext_inf_tpu.data import AudioSetDataset, DataLoader, EvaluateSampler
+from audioset_convnext_inf_tpu.engine import (
+    Evaluator,
+    evaluate_clipwise,
+    sliding_windows,
+    summarize,
+    tag_long_audio,
+)
+from audioset_convnext_inf_tpu.models import convnext as F
+from tests.make_synth_hdf5 import make_packed_and_index
+
+
+def _tiny_cfg():
+    return ConvNeXtConfig(name="tiny_test", depths=(1, 1, 1, 1), dims=(16, 32, 64, 128),
+                          drop_path_rate=0.0)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    d = tmp_path_factory.mktemp("engine_h5")
+    return make_packed_and_index(str(d), n_clips=24, clip_samples=16000)
+
+
+def test_metrics_match_sklearn(rng):
+    from scipy.stats import norm
+    from sklearn import metrics as skm
+
+    n, c = 200, 8
+    target = (rng.rand(n, c) > 0.7).astype(np.float32)
+    target[0] = 1  # populate all classes both ways
+    target[1] = 0
+    probs = rng.rand(n, c)
+    stats = evaluate_clipwise(probs, target)
+    ap = skm.average_precision_score(target, probs, average=None)
+    auc = skm.roc_auc_score(target, probs, average=None)
+    np.testing.assert_allclose(stats["average_precision"], ap)
+    np.testing.assert_allclose(stats["auc"], auc)
+    np.testing.assert_allclose(stats["d_prime"], np.sqrt(2) * norm.ppf(auc))
+    s = summarize(stats)
+    assert 0 <= s["mAP"] <= 1 and 0 <= s["mAUC"] <= 1
+
+
+def test_metrics_handle_empty_classes(rng):
+    n, c = 50, 4
+    target = np.zeros((n, c), np.float32)
+    target[:, 0] = rng.rand(n) > 0.5  # only class 0 populated
+    probs = rng.rand(n, c)
+    stats = evaluate_clipwise(probs, target)
+    assert np.isfinite(stats["average_precision"][0])
+    assert np.isnan(stats["average_precision"][1:]).all()
+    assert np.isfinite(summarize(stats)["mAP"])
+
+
+def test_evaluator_sharded_over_virtual_mesh(synth):
+    """End-to-end eval on 8 virtual CPU devices; padding + trimming correct."""
+    _, index = synth
+    assert len(jax.devices()) == 8
+    cfg = _tiny_cfg()
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    ev = Evaluator(params, cfg)
+    loader = DataLoader(AudioSetDataset(), EvaluateSampler(index, batch_size=16),
+                        num_workers=4, pad_to_batch_size=16)
+    stats = ev.evaluate(loader)
+    assert stats["average_precision"].shape == (527,)
+    out = ev.infer_probs(
+        DataLoader(AudioSetDataset(), EvaluateSampler(index, batch_size=16),
+                   num_workers=4, pad_to_batch_size=16)
+    )
+    assert out["clipwise_output"].shape == (24, 527)
+    assert out["target"].shape == (24, 527)
+
+
+def test_evaluator_batch_invariance(synth):
+    """Same probs regardless of batch size (padding must not leak)."""
+    _, index = synth
+    cfg = _tiny_cfg()
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    ev = Evaluator(params, cfg)
+
+    def probs_with_batch(bs):
+        loader = DataLoader(AudioSetDataset(), EvaluateSampler(index, batch_size=bs),
+                            num_workers=2, pad_to_batch_size=bs)
+        return ev.infer_probs(loader)["clipwise_output"]
+
+    p1 = probs_with_batch(16)
+    p2 = probs_with_batch(8)
+    np.testing.assert_allclose(p1, p2, atol=2e-5)
+
+
+def test_sliding_windows():
+    x = np.arange(250.0, dtype=np.float32)
+    w, n = sliding_windows(x, window_samples=100, hop_samples=50)
+    assert n == 4  # covers 0-100, 50-150, 100-200, 150-250
+    assert w.shape == (4, 100)
+    np.testing.assert_array_equal(w[0], x[:100])
+    np.testing.assert_array_equal(w[3], x[150:250])
+    # short audio: single zero-padded window
+    w, n = sliding_windows(np.ones(30, np.float32), 100)
+    assert n == 1 and w.shape == (1, 100) and w[0, 30:].sum() == 0
+
+
+class _FakeModel:
+    def forward(self, batch):
+        import jax.numpy as jnp
+
+        b = batch.shape[0]
+        # prob = mean(|x|) per clip, broadcast over 527
+        p = np.abs(np.asarray(batch)).mean(axis=1, keepdims=True) * np.ones((b, 527))
+        return {"clipwise_output": p, "clipwise_logits": p}
+
+
+def test_tag_long_audio_reduces_over_windows():
+    model = _FakeModel()
+    audio = np.concatenate([np.zeros(320000, np.float32), np.ones(320000, np.float32)])
+    out = tag_long_audio(model, audio, batch_size=4)
+    assert out["windowwise_output"].shape == (2, 527)
+    np.testing.assert_allclose(out["clipwise_output"], out["windowwise_output"].max(0))
+    assert out["clipwise_output"][0] > 0.9
