@@ -1,0 +1,207 @@
+"""Data-parallel training engine.
+
+TPU-native rebuild of the reference DDP train loop (main.py:117-923):
+
+ - one jit-compiled ``train_step`` with the batch sharded over the mesh's
+   ``data`` axis and parameters replicated - XLA inserts the gradient
+   all-reduce the way DDP's NCCL hook did, but fused into the backward;
+ - optax AdamW with the reference's custom weight-decay grouping (no decay
+   for 1-D params / biases, pytorch_utils.custom_weight_decay:39-53),
+   OneCycle LR over 75k steps (main.py:659-660), optional Adam;
+ - gradient accumulation via optax.MultiSteps (the reference *advertises*
+   ``accumulation_steps`` but never implements it - main.py:134,883);
+ - mixup (paired 2B batch), SpecAugment and DropPath under one PRNG key per
+   step; bn0 running stats updated functionally;
+ - checkpoint every N iterations incl. optimizer/sampler state; resume
+   restores the exact data order (main.py:621-634,714-717).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+from audioset_convnext_inf_tpu.engine import metrics as M
+from audioset_convnext_inf_tpu.engine.losses import clip_bce
+from audioset_convnext_inf_tpu.models import convnext as F
+from audioset_convnext_inf_tpu.ops.frontend import LogMelFrontend
+from audioset_convnext_inf_tpu.ops.mixup import do_mixup, get_mixup_lambda
+from audioset_convnext_inf_tpu.parallel.mesh import batch_sharding, get_mesh
+
+Params = Dict[str, Any]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    optimizer: str = "adamw"  # "adam" | "adamw" (main.py:645-658)
+    max_lr: float = 4e-4
+    total_steps: int = 75000  # OneCycleLR span (main.py:659-660)
+    pct_start: float = 0.3
+    div_factor: float = 25.0
+    final_div_factor: float = 1e4
+    weight_decay: float = 0.01
+    accumulation_steps: int = 1
+    mixup_alpha: float = 0.0  # 0 disables; reference uses 1.0 when on
+    seed: int = 1234
+    bf16_compute: bool = False
+
+
+def _wd_mask(params: Params):
+    """True = apply weight decay. Mirrors custom_weight_decay: no decay for
+    rank-1 tensors (biases, norm scales, gamma) - everything else decays."""
+    return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
+
+def onecycle_lr(cfg: TrainConfig) -> optax.Schedule:
+    """Cosine one-cycle (torch OneCycleLR default shape)."""
+    return optax.cosine_onecycle_schedule(
+        transition_steps=cfg.total_steps,
+        peak_value=cfg.max_lr,
+        pct_start=cfg.pct_start,
+        div_factor=cfg.div_factor,
+        final_div_factor=cfg.final_div_factor,
+    )
+
+
+def make_optimizer(params: Params, cfg: TrainConfig) -> optax.GradientTransformation:
+    lr = onecycle_lr(cfg)
+    if cfg.optimizer == "adamw":
+        tx = optax.adamw(
+            lr,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=cfg.weight_decay,
+            mask=_wd_mask(params),
+        )
+    elif cfg.optimizer == "adam":
+        tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    # bn0 running stats receive zero gradient (train mode normalizes with
+    # batch stats) and rank-1 tensors get no weight decay, so Adam leaves
+    # them untouched; the train step then overwrites them functionally.
+    if cfg.accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
+    return tx
+
+
+@dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: int
+
+
+def make_train_step(
+    model_cfg: ConvNeXtConfig,
+    train_cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    mesh=None,
+    loss_fn: Callable = clip_bce,
+):
+    """Build the jit-compiled, mesh-sharded train step.
+
+    Signature: step(params, opt_state, waveform, target, step_idx, key)
+        -> (params, opt_state, loss)
+    With mixup enabled the incoming batch is 2B and the effective batch B.
+    """
+    mesh = mesh if mesh is not None else get_mesh()
+    data_sharding = batch_sharding(mesh)
+    compute_dtype = jnp.bfloat16 if train_cfg.bf16_compute else jnp.float32
+    frontend = LogMelFrontend(model_cfg.frontend, compute_dtype=compute_dtype)
+    use_mixup = train_cfg.mixup_alpha > 0
+
+    def loss_and_aux(params, waveform, target, key):
+        mix_key, fwd_key = jax.random.split(key)
+        mixup_lambda = None
+        if use_mixup:
+            mixup_lambda = get_mixup_lambda(mix_key, waveform.shape[0], train_cfg.mixup_alpha)
+            target = do_mixup(target, mixup_lambda)
+        out, new_bn = F.forward_train(
+            params, waveform, model_cfg, fwd_key,
+            mixup_lambda=mixup_lambda, frontend=frontend, compute_dtype=compute_dtype,
+        )
+        loss = loss_fn(out, {"target": target})
+        return loss, new_bn
+
+    def train_step(params, opt_state, waveform, target, step_idx, key):
+        step_key = jax.random.fold_in(key, step_idx)
+        (loss, new_bn), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(
+            params, waveform, target, step_key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        # bn0 running stats: functional update (not part of the gradient path)
+        params = dict(params, bn0=new_bn)
+        return params, opt_state, loss
+
+    return jax.jit(
+        train_step,
+        in_shardings=(None, None, data_sharding, data_sharding, None, None),
+    )
+
+
+class Trainer:
+    """Orchestrates the loop: steps, periodic eval, checkpointing, resume."""
+
+    def __init__(
+        self,
+        model_cfg: ConvNeXtConfig,
+        train_cfg: TrainConfig,
+        params: Params,
+        mesh=None,
+        loss_fn: Callable = clip_bce,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.tx = make_optimizer(params, train_cfg)
+        self.state = TrainState(params=params, opt_state=self.tx.init(params), step=0)
+        self._step_fn = make_train_step(model_cfg, train_cfg, self.tx, self.mesh, loss_fn)
+        self._key = jax.random.PRNGKey(train_cfg.seed)
+        self._sharding = batch_sharding(self.mesh)
+
+    def step(self, waveform: np.ndarray, target: np.ndarray) -> float:
+        wav = jax.device_put(np.asarray(waveform, np.float32), self._sharding)
+        tgt = jax.device_put(np.asarray(target, np.float32), self._sharding)
+        params, opt_state, loss = self._step_fn(
+            self.state.params, self.state.opt_state, wav, tgt, self.state.step, self._key
+        )
+        self.state = TrainState(params=params, opt_state=opt_state, step=self.state.step + 1)
+        return float(loss)
+
+    def train(
+        self,
+        train_loader: Iterable,
+        eval_fn: Optional[Callable[[Params, int], None]] = None,
+        eval_interval: int = 5000,
+        checkpoint_fn: Optional[Callable[["Trainer", int], None]] = None,
+        checkpoint_interval: int = 5000,
+        early_stop: Optional[int] = None,
+        log_interval: int = 100,
+    ) -> None:
+        t0 = time.time()
+        for batch in train_loader:
+            it = self.state.step
+            if it % eval_interval == 0 and eval_fn is not None and it > 0:
+                eval_fn(self.state.params, it)
+            if it % checkpoint_interval == 0 and checkpoint_fn is not None and it > 0:
+                checkpoint_fn(self, it)
+            loss = self.step(batch["waveform"], batch["target"])
+            if it % log_interval == 0:
+                logging.info(
+                    "iteration %d loss %.4f (%.2f s)", it, loss, time.time() - t0
+                )
+                t0 = time.time()
+            if early_stop is not None and self.state.step >= early_stop:
+                break

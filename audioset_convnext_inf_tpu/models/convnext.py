@@ -218,10 +218,9 @@ def _frontend_and_bn0(
     # bn0 over mel axis. NHWC mel is axis 2.
     bn_axis = 2
     xm = jnp.squeeze(x, axis=-1)  # (B, T, M)
+    new_bn_stats = None
     if train:
-        # batch stats path; running-stat update is handled by the trainer via
-        # models.convnext.bn0_train_stats to keep this function pure.
-        xm = L.batch_norm_train(xm, params["bn0"], eps=cfg.bn_eps, axis=bn_axis)[0]
+        xm, new_bn_stats = L.batch_norm_train(xm, params["bn0"], eps=cfg.bn_eps, axis=bn_axis)
     else:
         xm = L.batch_norm_apply(xm, params["bn0"], eps=cfg.bn_eps, axis=bn_axis)
     x = xm[..., None]
@@ -239,7 +238,7 @@ def _frontend_and_bn0(
     if train and mixup_lambda is not None:
         x = do_mixup(x, mixup_lambda)
 
-    return x
+    return (x, new_bn_stats) if train else x
 
 
 def forward(
@@ -262,9 +261,36 @@ def forward(
     else:
         aug_key = dp_key = None
     x = _frontend_and_bn0(waveform, params, cfg, frontend, train, aug_key, mixup_lambda, compute_dtype)
+    if train:
+        x, _ = x
     emb = forward_features(x, params, cfg, train_key=dp_key)
     logits = L.linear(emb, params["head"]["w"], params["head"]["b"]).astype(jnp.float32)
     return {"clipwise_output": jax.nn.sigmoid(logits), "clipwise_logits": logits}
+
+
+def forward_train(
+    params: Params,
+    waveform: Array,
+    cfg: ConvNeXtConfig,
+    train_key: jax.Array,
+    mixup_lambda: Optional[Array] = None,
+    frontend: Optional[LogMelFrontend] = None,
+    compute_dtype=jnp.float32,
+) -> Tuple[Dict[str, Array], Params]:
+    """Training forward: returns (outputs, new_bn0_running_stats).
+
+    The training-mode prologue of reference forward (convnext.py:287-316):
+    SpecAugment + mixup active, bn0 normalizes with batch statistics and its
+    running stats update flows back to the trainer (torch mutates the module
+    in place; here the update is explicit and pure).
+    """
+    train_key, aug_key, dp_key = jax.random.split(train_key, 3)
+    x, new_bn_stats = _frontend_and_bn0(
+        waveform, params, cfg, frontend, True, aug_key, mixup_lambda, compute_dtype
+    )
+    emb = forward_features(x, params, cfg, train_key=dp_key)
+    logits = L.linear(emb, params["head"]["w"], params["head"]["b"]).astype(jnp.float32)
+    return {"clipwise_output": jax.nn.sigmoid(logits), "clipwise_logits": logits}, new_bn_stats
 
 
 def forward_scene_embeddings(

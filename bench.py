@@ -1,0 +1,85 @@
+"""Benchmark: batched 10-s clip tagging throughput on the local chip(s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the driver target of 5,000 clips/s on a v5e-8 = 625 clips/s/chip
+(BASELINE.md). The reference publishes no throughput numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from audioset_convnext_inf_tpu.config import CLIP_SAMPLES, ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+    from audioset_convnext_inf_tpu.ops.frontend import LogMelFrontend
+    from audioset_convnext_inf_tpu.parallel.mesh import batch_sharding, get_mesh
+
+    n_chips = len(jax.devices())
+    mesh = get_mesh()
+    sharding = batch_sharding(mesh)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    cfg = ConvNeXtConfig(drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
+
+    def fwd(params, wav):
+        return F.forward(params, wav, cfg, frontend=frontend, compute_dtype=compute_dtype)[
+            "clipwise_output"
+        ]
+
+    fwd = jax.jit(fwd, in_shardings=(None, sharding), out_shardings=sharding)
+
+    b = args.batch_size * n_chips
+    rng = np.random.RandomState(0)
+    wav = jax.device_put((rng.randn(b, CLIP_SAMPLES) * 0.1).astype(np.float32), sharding)
+
+    for _ in range(args.warmup):
+        fwd(params, wav).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fwd(params, wav)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = b * args.iters / dt
+    per_chip = clips_per_sec / n_chips
+    baseline_per_chip = 5000.0 / 8.0
+    print(
+        json.dumps(
+            {
+                "metric": "10s_clips_per_sec_per_chip",
+                "value": round(per_chip, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(per_chip / baseline_per_chip, 3),
+                "detail": {
+                    "total_clips_per_sec": round(clips_per_sec, 2),
+                    "n_chips": n_chips,
+                    "batch_per_chip": args.batch_size,
+                    "dtype": args.dtype,
+                    "iters": args.iters,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
