@@ -1,0 +1,182 @@
+"""Distributed training CLI (reference pytorch/main.py train).
+
+    python -m audioset_convnext_inf_tpu.cli.train \
+        --train-indexes train_idx.h5 --eval-indexes eval_idx.h5 \
+        [--bal-indexes bal_idx.h5] [--model convnext_tiny] \
+        [--sampler balanced|uniform|alternate] [--batch-size 128] \
+        [--mixup-alpha 1.0] [--early-stop 75000] [--workspace ./workspace] \
+        [--resume-iteration N]
+
+Data-parallel over all visible devices (multi-host via
+``jax.distributed`` when launched under SLURM). Checkpoints every
+--checkpoint-interval iterations include model/optimizer/sampler state and
+support exact resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--train-indexes", required=True)
+    parser.add_argument("--eval-indexes", default=None)
+    parser.add_argument("--bal-indexes", default=None)
+    parser.add_argument("--model", default="convnext_tiny")
+    parser.add_argument("--after-stem-dim", type=int, nargs="+", default=[252, 56])
+    parser.add_argument("--sampler", default="balanced", choices=["uniform", "balanced", "alternate"])
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--max-lr", type=float, default=4e-4)
+    parser.add_argument("--total-steps", type=int, default=75000)
+    parser.add_argument("--optimizer", default="adamw", choices=["adam", "adamw"])
+    parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--mixup-alpha", type=float, default=0.0)
+    parser.add_argument("--drop-path-rate", type=float, default=0.1)
+    parser.add_argument("--accumulation-steps", type=int, default=1)
+    parser.add_argument("--use-speed-perturb", action="store_true")
+    parser.add_argument("--use-pydub-augment", action="store_true")
+    parser.add_argument("--use-roll-augment", action="store_true")
+    parser.add_argument("--black-list-csv", default=None)
+    parser.add_argument("--early-stop", type=int, default=None)
+    parser.add_argument("--eval-interval", type=int, default=5000)
+    parser.add_argument("--checkpoint-interval", type=int, default=5000)
+    parser.add_argument("--eval-batch-size", type=int, default=256)
+    parser.add_argument("--num-workers", type=int, default=8)
+    parser.add_argument("--workspace", default="./workspace")
+    parser.add_argument("--resume-iteration", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--bf16", action="store_true", help="bfloat16 trunk compute")
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from audioset_convnext_inf_tpu.checkpoint import load_checkpoint, save_checkpoint
+    from audioset_convnext_inf_tpu.data import (
+        AlternateTrainSampler,
+        AudioSetDataset,
+        BalancedTrainSampler,
+        DataLoader,
+        EvaluateSampler,
+        TrainSampler,
+    )
+    from audioset_convnext_inf_tpu.engine import Evaluator, StatisticsContainer, summarize
+    from audioset_convnext_inf_tpu.engine.trainer import TrainConfig, Trainer
+    from audioset_convnext_inf_tpu.models import create_model
+    from audioset_convnext_inf_tpu.parallel.dist import initialize_distributed, is_primary
+
+    initialize_distributed()
+    logging.basicConfig(level=logging.INFO)
+
+    model = create_model(
+        args.model,
+        drop_path_rate=args.drop_path_rate,
+        after_stem_dim=tuple(args.after_stem_dim),
+        use_speed_perturb=args.use_speed_perturb,
+        use_pydub_augment=args.use_pydub_augment,
+        use_roll_augment=args.use_roll_augment,
+        seed=args.seed,
+    )
+    cfg = model.cfg
+    params = model.params
+    logging.info("model %s: %d params", args.model, model.count_parameters())
+
+    train_cfg = TrainConfig(
+        optimizer=args.optimizer,
+        max_lr=args.max_lr,
+        total_steps=args.total_steps,
+        weight_decay=args.weight_decay,
+        accumulation_steps=args.accumulation_steps,
+        mixup_alpha=args.mixup_alpha,
+        seed=args.seed,
+        bf16_compute=args.bf16,
+    )
+
+    sampler_cls = {
+        "uniform": TrainSampler,
+        "balanced": BalancedTrainSampler,
+        "alternate": AlternateTrainSampler,
+    }[args.sampler]
+    # mixup needs pairs: double the sampled batch (reference main.py:556-575)
+    sample_batch = args.batch_size * (2 if args.mixup_alpha > 0 else 1)
+    sampler = sampler_cls(args.train_indexes, sample_batch, args.black_list_csv, args.seed)
+
+    ckpt_root = os.path.join(args.workspace, "checkpoints", args.model)
+    stats_path = os.path.join(args.workspace, "statistics", args.model, "statistics.pkl")
+    statistics = StatisticsContainer(stats_path)
+
+    trainer = Trainer(cfg, train_cfg, params)
+
+    if args.resume_iteration:
+        ck = load_checkpoint(os.path.join(ckpt_root, f"{args.resume_iteration}_iterations"))
+        trainer.state = trainer.state.__class__(
+            params=ck["params"],
+            opt_state=jax.tree_util.tree_map(jnp.asarray, ck["opt_state"]),
+            step=ck["iteration"],
+        )
+        if ck.get("sampler_state") is not None:
+            sampler.load_state_dict(ck["sampler_state"])
+        try:
+            statistics.load_state_dict(args.resume_iteration)
+        except FileNotFoundError:
+            pass
+        logging.info("resumed at iteration %d", ck["iteration"])
+
+    loader = DataLoader(
+        AudioSetDataset(training=True),
+        sampler,
+        num_workers=args.num_workers,
+    )
+
+    def eval_fn(params, iteration):
+        if not is_primary():
+            return
+        ev = Evaluator(params, cfg)
+        for tag, path in (("bal", args.bal_indexes), ("test", args.eval_indexes)):
+            if not path:
+                continue
+            eloader = DataLoader(
+                AudioSetDataset(),
+                EvaluateSampler(path, args.eval_batch_size),
+                num_workers=args.num_workers,
+                pad_to_batch_size=args.eval_batch_size,
+            )
+            stats = ev.evaluate(eloader)
+            s = summarize(stats)
+            logging.info("iter %d %s mAP %.4f AUC %.4f d' %.4f", iteration, tag,
+                         s["mAP"], s["mAUC"], s["dprime"])
+            statistics.append(iteration, s, tag)
+        statistics.dump()
+
+    def checkpoint_fn(tr, iteration):
+        if not is_primary():
+            return
+        save_checkpoint(
+            os.path.join(ckpt_root, f"{iteration}_iterations"),
+            tr.state.params,
+            cfg,
+            opt_state=tr.state.opt_state,
+            sampler_state=sampler.state_dict(),
+            iteration=iteration,
+        )
+        logging.info("checkpoint saved at iteration %d", iteration)
+
+    trainer.train(
+        loader,
+        eval_fn=eval_fn,
+        eval_interval=args.eval_interval,
+        checkpoint_fn=checkpoint_fn,
+        checkpoint_interval=args.checkpoint_interval,
+        early_stop=args.early_stop,
+    )
+    if is_primary():
+        checkpoint_fn(trainer, trainer.state.step)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

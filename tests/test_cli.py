@@ -1,0 +1,94 @@
+"""CLI end-to-end smoke tests (in-process, virtual CPU devices)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.make_synth_hdf5 import make_packed_and_index
+
+
+def test_demo_cli(sample_wav_path, capsys):
+    from audioset_convnext_inf_tpu.cli.demo import main
+
+    rc = main([sample_wav_path, "--threshold", "0.9"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "# params: 28222767" in out
+    assert "logits size: (1, 527)" in out
+    assert "Scene embedding, shape: (1, 768)" in out
+    assert "Frame-level embeddings, shape: (1, 768, 31, 7)" in out
+
+
+def test_convert_cli_roundtrip(tmp_path, capsys):
+    """native -> safetensors -> load again; head weights bit-identical."""
+    import jax
+
+    from audioset_convnext_inf_tpu.checkpoint import load_pretrained, save_checkpoint
+    from audioset_convnext_inf_tpu.cli.convert import main
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = ConvNeXtConfig(drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(1), cfg)
+    native = str(tmp_path / "native_ck")
+    save_checkpoint(native, params, cfg)
+
+    st = str(tmp_path / "model.safetensors")
+    assert main([native, st, "--to", "safetensors"]) == 0
+    params2 = load_pretrained(st, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(params["head"]["w"]), np.asarray(params2["head"]["w"])
+    )
+
+
+def test_pack_and_evaluate_cli(tmp_path, capsys):
+    from scipy.io import wavfile
+
+    from audioset_convnext_inf_tpu.cli.pack_dataset import main as pack_main
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    rng = np.random.RandomState(0)
+    lines = ["#\n", "#\n", "#\n"]
+    for i in range(4):
+        name = f"clip{i:02d}xx_0_10000.wav"
+        wavfile.write(str(audio_dir / name), 32000, (rng.randn(32000) * 2000).astype(np.int16))
+        lines.append(f'clip{i:02d}xx, 0.000, 10.000, "/m/09x0r"\n')
+    csv = tmp_path / "m.csv"
+    csv.write_text("".join(lines))
+
+    packed = str(tmp_path / "packed.h5")
+    index = str(tmp_path / "idx.h5")
+    assert pack_main(["pack", "--csv", str(csv), "--audios-dir", str(audio_dir),
+                      "--out", packed, "--audio-ext", ".wav"]) == 0
+    assert pack_main(["index", "--waveforms", packed, "--out", index]) == 0
+    assert os.path.exists(index)
+
+
+def test_train_cli_two_steps(tmp_path):
+    from audioset_convnext_inf_tpu.cli.train import main
+
+    d = tmp_path / "h5"
+    packed, index = make_packed_and_index(str(d), n_clips=16, clip_samples=16000)
+    rc = main([
+        "--train-indexes", index,
+        "--model", "convnext_atto",
+        "--batch-size", "8",
+        "--sampler", "uniform",
+        "--early-stop", "2",
+        "--eval-interval", "1000000",
+        "--checkpoint-interval", "1000000",
+        "--num-workers", "2",
+        "--workspace", str(tmp_path / "ws"),
+        "--total-steps", "100",
+    ])
+    assert rc == 0
+    # final checkpoint was written and reloads
+    ckpts = list((tmp_path / "ws" / "checkpoints" / "convnext_atto").iterdir())
+    assert len(ckpts) == 1
+    from audioset_convnext_inf_tpu.checkpoint import load_checkpoint
+
+    state = load_checkpoint(str(ckpts[0]))
+    assert state["iteration"] == 2
+    assert state["sampler_state"] is not None
