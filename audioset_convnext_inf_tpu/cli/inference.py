@@ -1,0 +1,97 @@
+"""Legacy inference CLI over the PANN zoo (reference pytorch/inference.py).
+
+    # top-10 clipwise tags
+    python -m audioset_convnext_inf_tpu.cli.inference audio_tagging \
+        --audio-path x.wav --model-type Cnn14 [--checkpoint ck.pth]
+
+    # framewise sound event detection (DecisionLevel* models)
+    python -m audioset_convnext_inf_tpu.cli.inference sound_event_detection \
+        --audio-path x.wav --model-type Cnn14_DecisionLevelMax \
+        [--checkpoint ck.pth] [--out-csv events.csv]
+
+Fixes vs the reference: model dispatch goes through a registry instead of
+``eval(model_type)`` (inference.py:47), no DataParallel wrapper, and the SED
+output is written as a CSV of (frame, class, prob) maxima instead of a
+matplotlib plot (headless-friendly; the plot was the only matplotlib use).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _load_model(model_type: str, checkpoint: str | None):
+    from audioset_convnext_inf_tpu.models.pann import create_pann_model
+
+    model = create_pann_model(model_type)
+    if checkpoint:
+        import torch
+
+        from audioset_convnext_inf_tpu.checkpoint.pann_convert import (
+            pann_state_dict_to_params,
+        )
+
+        blob = torch.load(checkpoint, map_location="cpu", weights_only=True)
+        if isinstance(blob, dict) and "model" in blob:
+            blob = blob["model"]
+        model.params = pann_state_dict_to_params(
+            {k: v.numpy() for k, v in blob.items()}, model.cfg
+        )
+    else:
+        print("WARNING: no checkpoint given - using random weights")
+    return model
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="mode", required=True)
+    for mode in ("audio_tagging", "sound_event_detection"):
+        p = sub.add_parser(mode)
+        p.add_argument("--audio-path", required=True)
+        p.add_argument("--model-type", default="Cnn14")
+        p.add_argument("--checkpoint", default=None)
+        p.add_argument("--top-k", type=int, default=10)
+        p.add_argument("--out-csv", default=None)
+    args = parser.parse_args(argv)
+
+    from audioset_convnext_inf_tpu.data.audio_io import read_wav
+    from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
+
+    model = _load_model(args.model_type, args.checkpoint)
+    sr = model.cfg.frontend.sample_rate
+    wav, _ = read_wav(args.audio_path, target_sr=sr)
+    out = model.forward(wav[None, :].astype(np.float32))
+    lm = read_audioset_label_tags()
+
+    if args.mode == "audio_tagging":
+        probs = np.asarray(out["clipwise_output"])[0]
+        order = np.argsort(probs)[::-1][: args.top_k]
+        for ix in order:
+            print(f"{lm.ix_to_lb[int(ix)]}: {probs[ix]:.3f}")
+    else:
+        if "framewise_output" not in out:
+            raise SystemExit(
+                f"{args.model_type} has no framewise output; use a Cnn14_DecisionLevel* model"
+            )
+        framewise = np.asarray(out["framewise_output"])[0]  # (T, 527)
+        top = np.argsort(framewise.max(axis=0))[::-1][: args.top_k]
+        print(f"framewise output: {framewise.shape}")
+        for ix in top:
+            print(f"{lm.ix_to_lb[int(ix)]}: max frame prob {framewise[:, ix].max():.3f}")
+        if args.out_csv:
+            import csv
+
+            with open(args.out_csv, "w", newline="") as f:
+                w = csv.writer(f)
+                w.writerow(["frame", "class_index", "label", "prob"])
+                for ix in top:
+                    fr = int(framewise[:, ix].argmax())
+                    w.writerow([fr, int(ix), lm.ix_to_lb[int(ix)], float(framewise[fr, ix])])
+            print(f"wrote {args.out_csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
