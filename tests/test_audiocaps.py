@@ -1,0 +1,103 @@
+"""AudioCaps dataset + transfer finetune tests (synthetic fixtures)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from audioset_convnext_inf_tpu.data.audiocaps import AudioCaps, BasicCollate, tag_2_onehot
+
+
+@pytest.fixture(scope="module")
+def audiocaps_root(tmp_path_factory):
+    from scipy.io import wavfile
+
+    root = tmp_path_factory.mktemp("ac_root")
+    data = root / "AUDIOCAPS_32000Hz"
+    rng = np.random.RandomState(0)
+    for subset, caps_per in (("train", 1), ("val", 5)):
+        audio_dir = data / "audio" / subset
+        audio_dir.mkdir(parents=True)
+        lines = ["audiocap_id,youtube_id,start_time,caption\n"]
+        for i in range(4):
+            ytid = f"yt{subset}{i:04d}"
+            start = 10
+            for c in range(caps_per):
+                lines.append(f"{i * 10 + c},{ytid},{start},a caption number {c}\n")
+            # variable lengths to exercise pad-to-longest collate
+            n = 16000 + 1000 * i
+            wavfile.write(str(audio_dir / f"{ytid}_{start * 1000}.wav"), 32000,
+                          (rng.randn(n) * 2000).astype(np.int16))
+        (data / f"{subset}.csv").write_text("".join(lines))
+        tag_lines = ["youtube_id,mids\n"] + [
+            f"yt{subset}{i:04d},/m/09x0r;/m/05zppz\n" for i in range(4)
+        ]
+        (data / f"{subset}_tags.csv").write_text("".join(tag_lines))
+    return str(root)
+
+
+def test_audiocaps_loads_and_groups_captions(audiocaps_root):
+    train = AudioCaps(root=audiocaps_root, subset="train", with_tags=True)
+    val = AudioCaps(root=audiocaps_root, subset="val", with_tags=True)
+    assert len(train) == 4 and len(val) == 4
+    assert len(val.at(0, "captions")) == 5
+    assert train.at(0, "tags") == [0, 1]  # Speech, Male speech
+    item = train[0]
+    assert item["audio"].ndim == 1 and len(item["audio"]) == 16000
+    assert item["tags"] == [0, 1]
+
+
+def test_audiocaps_columnar_access(audiocaps_root):
+    ds = AudioCaps(root=audiocaps_root, subset="train", with_tags=True)
+    assert ds.at(1, "youtube_id") == "yttrain0001"
+    assert "captions" in ds.column_names and "audio" in ds.column_names
+    assert ds.shape[0] == 4
+    assert len(ds.index_to_tagname) == 527
+
+
+def test_audiocaps_flat_captions(audiocaps_root):
+    ds = AudioCaps(root=audiocaps_root, subset="val", with_tags=True, flat_captions=True)
+    assert len(ds) == 20  # 4 clips x 5 captions
+    assert len(ds.at(0, "captions")) == 1
+
+
+def test_audiocaps_download_raises(audiocaps_root):
+    with pytest.raises(RuntimeError):
+        AudioCaps(root=audiocaps_root, subset="train", download=True)
+
+
+def test_basic_collate_pads_and_onehots(audiocaps_root):
+    ds = AudioCaps(root=audiocaps_root, subset="train", with_tags=True)
+    collate = BasicCollate(with_tags=True)
+    batch = collate([ds[i] for i in range(4)])
+    assert batch["audio"].shape == (4, 19000)  # padded to longest
+    assert batch["tags"].shape == (4, 527)
+    np.testing.assert_array_equal(batch["tags"][:, 0], 1.0)
+    oh = tag_2_onehot([3, 5])
+    assert oh.shape == (1, 527) and oh[0, 3] == 1 and oh.sum() == 2
+
+
+def test_transfer_trainer_freezes_base(audiocaps_root):
+    import jax
+
+    from audioset_convnext_inf_tpu.engine.transfer import TransferTrainer
+    from audioset_convnext_inf_tpu.models.pann import create_pann_model
+
+    # small stand-in trunk keeps the test fast; same structure keys
+    model = create_pann_model("Cnn6")
+    before_conv = np.asarray(model.params["conv_block1"]["conv1"]["w"]).copy()
+    before_fc = np.asarray(model.params["fc_audioset"]["w"]).copy()
+
+    trainer = TransferTrainer(model, learning_rate=1e-3)
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(2, 16000) * 0.1).astype(np.float32)
+    tags = np.zeros((2, 527), np.float32)
+    tags[:, 0] = 1
+    l0 = trainer.step(audio, tags)
+    l1 = trainer.step(audio, tags)
+    assert np.isfinite([l0, l1]).all()
+
+    np.testing.assert_array_equal(
+        np.asarray(model.params["conv_block1"]["conv1"]["w"]), before_conv
+    )  # base frozen
+    assert not np.allclose(np.asarray(model.params["fc_audioset"]["w"]), before_fc)
