@@ -17,14 +17,20 @@ import numpy as np
 
 
 def float32_to_int16(x: np.ndarray) -> np.ndarray:
-    """Clip to [-1, 1] and scale by 32767 (utilities.py:220-223)."""
-    x = np.clip(x, -1, 1)
-    return (x * 32767.0).astype(np.int16)
+    """Clip to [-1, 1] and scale by 32767 (utilities.py:220-223).
+
+    Uses the native OpenMP data plane (native/audio_host.cpp) when built.
+    """
+    from audioset_convnext_inf_tpu.utils import native
+
+    return native.float32_to_int16(np.asarray(x))
 
 
 def int16_to_float32(x: np.ndarray) -> np.ndarray:
-    """x / 32767 (utilities.py:226-227)."""
-    return (x / 32767.0).astype(np.float32)
+    """x / 32767 (utilities.py:226-227); native-accelerated when available."""
+    from audioset_convnext_inf_tpu.utils import native
+
+    return native.int16_to_float32(np.asarray(x))
 
 
 def pad_or_truncate(x: np.ndarray, audio_length: int) -> np.ndarray:
