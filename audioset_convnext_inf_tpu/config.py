@@ -107,6 +107,10 @@ class ConvNeXtConfig:
     after_stem_dim: Tuple[int, ...] = (252, 56)
     ln_eps: float = 1e-6
     bn_eps: float = 1e-5
+    # Block tail implementation: "xla" (exact erf GELU) or "pallas" (fused
+    # LN->MLP->scale->residual kernel, tanh GELU - use with bf16 compute).
+    # Training always uses the XLA path (the kernel has no custom VJP yet).
+    block_impl: str = "xla"
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 

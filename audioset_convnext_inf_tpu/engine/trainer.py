@@ -49,6 +49,12 @@ class TrainConfig:
     div_factor: float = 25.0
     final_div_factor: float = 1e4
     weight_decay: float = 0.01
+    # Optional WD schedule (reference main.py:664-712): cooldown phase
+    # (constant or cosine from wd to wd/5) for the first 30% of steps, then
+    # linear warmup to 2*wd.
+    use_wd_schedule: bool = False
+    wd_constant_cooldown: bool = True
+    wd_cooldown_frac: float = 0.3
     accumulation_steps: int = 1
     mixup_alpha: float = 0.0  # 0 disables; reference uses 1.0 when on
     seed: int = 1234
@@ -72,17 +78,46 @@ def onecycle_lr(cfg: TrainConfig) -> optax.Schedule:
     )
 
 
+def wd_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """Cooldown (constant or cosine wd->wd/5) then linear warmup to 2*wd
+    over total_steps (reference wd_scheduler, main.py:667-708)."""
+    base, final, minv = cfg.weight_decay, 2 * cfg.weight_decay, cfg.weight_decay / 5
+    cooldown = int(cfg.wd_cooldown_frac * cfg.total_steps)
+
+    def sched(step):
+        step = jnp.asarray(step)
+        if cfg.wd_constant_cooldown:
+            cool = base
+        else:
+            cool = minv + 0.5 * (base - minv) * (1 + jnp.cos(jnp.pi * step / max(cooldown, 1)))
+        start = base if cfg.wd_constant_cooldown else minv
+        frac = (step - cooldown) / max(cfg.total_steps - cooldown - 1, 1)
+        warm = start + (final - start) * jnp.clip(frac, 0.0, 1.0)
+        return jnp.where(step < cooldown, cool, warm)
+
+    return sched
+
+
 def make_optimizer(params: Params, cfg: TrainConfig) -> optax.GradientTransformation:
     lr = onecycle_lr(cfg)
     if cfg.optimizer == "adamw":
-        tx = optax.adamw(
-            lr,
-            b1=0.9,
-            b2=0.999,
-            eps=1e-8,
-            weight_decay=cfg.weight_decay,
-            mask=_wd_mask(params),
-        )
+        mask = _wd_mask(params)
+        if cfg.use_wd_schedule:
+            tx = optax.inject_hyperparams(
+                optax.adamw, static_args=("b1", "b2", "eps", "mask")
+            )(
+                learning_rate=lr,
+                weight_decay=wd_schedule(cfg),
+                b1=0.9,
+                b2=0.999,
+                eps=1e-8,
+                mask=mask,
+            )
+        else:
+            tx = optax.adamw(
+                lr, b1=0.9, b2=0.999, eps=1e-8,
+                weight_decay=cfg.weight_decay, mask=mask,
+            )
     elif cfg.optimizer == "adam":
         tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     else:

@@ -13,6 +13,12 @@ from audioset_convnext_inf_tpu.models.api import (
     MODEL_REGISTRY,
 )
 from audioset_convnext_inf_tpu.models import convnext as convnext_fn
+from audioset_convnext_inf_tpu.models.pann import (
+    PANN_REGISTRY,
+    PannConfig,
+    PannModel,
+    create_pann_model,
+)
 
 __all__ = [
     "ConvNeXt",

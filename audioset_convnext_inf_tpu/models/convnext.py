@@ -130,12 +130,27 @@ def _flatten_with_names(tree, prefix=()) -> List[Tuple[Tuple[str, ...], Array]]:
 
 
 def _block_apply(
-    x: Array, p: Params, eps: float, drop_prob: float, key: Optional[jax.Array]
+    x: Array,
+    p: Params,
+    eps: float,
+    drop_prob: float,
+    key: Optional[jax.Array],
+    block_impl: str = "xla",
 ) -> Array:
     """ConvNeXt block (reference convnext.py:74-87), NHWC throughout."""
     dim = x.shape[-1]
     shortcut = x
     x = L.conv2d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=(3, 3), feature_group_count=dim)
+    if block_impl == "pallas" and key is None:
+        from audioset_convnext_inf_tpu.ops.pallas_block import fused_ln_mlp_residual
+
+        return fused_ln_mlp_residual(
+            x, shortcut,
+            p["norm"]["scale"], p["norm"]["bias"],
+            p["pwconv1"]["w"], p["pwconv1"]["b"],
+            p["pwconv2"]["w"], p["pwconv2"]["b"],
+            p.get("gamma"), eps=eps,
+        )
     x = L.layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps)
     x = L.linear(x, p["pwconv1"]["w"], p["pwconv1"]["b"])
     x = L.gelu(x)
@@ -175,7 +190,7 @@ def forward_features(
             x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
         for j, block in enumerate(params["stages"][i]):
             k = block_keys[cur + j] if train_key is not None else None
-            x = _block_apply(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k)
+            x = _block_apply(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k, cfg.block_impl)
         cur += cfg.depths[i]
 
     if return_frame_embeddings:

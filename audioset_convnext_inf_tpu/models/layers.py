@@ -57,8 +57,11 @@ def layer_norm(x: Array, scale: Array, bias: Array, eps: float = 1e-6) -> Array:
     """
     dtype = x.dtype
     xf = x.astype(jnp.float32)
+    # single-pass moments (E[x^2] - E[x]^2): one fewer sweep over the
+    # activation than the subtract-then-square form, same result in f32
     mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    mean_sq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return (y * scale + bias).astype(dtype)
 
