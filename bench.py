@@ -3,6 +3,11 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the driver target of 5,000 clips/s on a v5e-8 = 625 clips/s/chip
 (BASELINE.md). The reference publishes no throughput numbers.
+
+Timing methodology: on the remote-relay TPU platform ``block_until_ready``
+does not actually block, so iterations are dependency-chained (each step's
+input folds in a scalar of the previous output) and the loop ends with one
+scalar device->host fetch - wall time then covers the full chain.
 """
 
 from __future__ import annotations
@@ -17,9 +22,9 @@ import numpy as np
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=128)
-    parser.add_argument("--iters", type=int, default=20)
-    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=12)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    parser.add_argument("--block-impl", default="pallas", choices=["pallas", "xla"])
     args = parser.parse_args()
 
     import jax
@@ -34,32 +39,37 @@ def main() -> None:
     mesh = get_mesh()
     sharding = batch_sharding(mesh)
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    # the fused pallas block tail assumes bf16-class numerics
+    block_impl = args.block_impl if args.dtype == "bfloat16" else "xla"
 
-    cfg = ConvNeXtConfig(drop_path_rate=0.0)
+    cfg = ConvNeXtConfig(drop_path_rate=0.0, block_impl=block_impl)
     params = F.init_params(jax.random.PRNGKey(0), cfg)
     frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
 
-    def fwd(params, wav):
-        return F.forward(params, wav, cfg, frontend=frontend, compute_dtype=compute_dtype)[
+    def step(params, wav):
+        probs = F.forward(params, wav, cfg, frontend=frontend, compute_dtype=compute_dtype)[
             "clipwise_output"
         ]
+        # fold output back into input: forces sequential execution of the chain
+        return wav + 0.0 * jnp.sum(probs)
 
-    fwd = jax.jit(fwd, in_shardings=(None, sharding), out_shardings=sharding)
+    step = jax.jit(step, in_shardings=(None, sharding), out_shardings=sharding)
 
     b = args.batch_size * n_chips
     rng = np.random.RandomState(0)
     wav = jax.device_put((rng.randn(b, CLIP_SAMPLES) * 0.1).astype(np.float32), sharding)
 
-    for _ in range(args.warmup):
-        fwd(params, wav).block_until_ready()
+    # warmup/compile + sync
+    wav = step(params, wav)
+    _ = float(jnp.sum(wav))
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        out = fwd(params, wav)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        wav = step(params, wav)
+    _ = float(jnp.sum(wav))  # single scalar fetch closes the chain
+    dt = (time.perf_counter() - t0) / args.iters
 
-    clips_per_sec = b * args.iters / dt
+    clips_per_sec = b / dt
     per_chip = clips_per_sec / n_chips
     baseline_per_chip = 5000.0 / 8.0
     print(
@@ -74,6 +84,7 @@ def main() -> None:
                     "n_chips": n_chips,
                     "batch_per_chip": args.batch_size,
                     "dtype": args.dtype,
+                    "block_impl": block_impl,
                     "iters": args.iters,
                 },
             }
