@@ -146,6 +146,64 @@ def _validate_shapes(params: Params, cfg: ConvNeXtConfig) -> None:
             raise ValueError(f"shape mismatch at {'.'.join(path)}: got {tuple(node.shape)}, want {shape}")
 
 
+def load_imagenet_backbone(
+    state_dict: Dict[str, Any], cfg: ConvNeXtConfig, params: Params
+) -> Params:
+    """Non-strict ImageNet ConvNeXt init (reference convnext.py:663-672).
+
+    The reference loads a timm/FB image checkpoint with ``strict=False``
+    (3-channel 4x4 stem + 1000-class head don't match) and then swaps in the
+    audio stem. Here: start from ``params`` (fresh audio init incl. stem,
+    bn0, head) and copy every tensor whose converted shape matches -
+    i.e. the stage blocks, downsample layers and final norm.
+
+    Accepts raw checkpoints or ``{"model": ...}`` wrappers. Returns a new
+    pytree; logs nothing, skips silently like the reference's strict=False.
+    """
+    import copy
+
+    if "model" in state_dict and isinstance(state_dict["model"], dict):
+        state_dict = state_dict["model"]
+    sd = {k: _to_numpy(v) for k, v in state_dict.items() if not k.endswith("num_batches_tracked")}
+    out = copy.deepcopy(params)
+
+    def try_set(dst_parent, dst_key, value):
+        cur = dst_parent.get(dst_key)
+        if cur is not None and tuple(cur.shape) == tuple(value.shape):
+            dst_parent[dst_key] = jnp.asarray(value)
+
+    def conv_t(w):
+        return np.transpose(w, (2, 3, 1, 0))
+
+    for i in range(1, 4):
+        if f"downsample_layers.{i}.0.weight" in sd:
+            d = out["downsample"][i - 1]
+            try_set(d["norm"], "scale", sd[f"downsample_layers.{i}.0.weight"])
+            try_set(d["norm"], "bias", sd[f"downsample_layers.{i}.0.bias"])
+            try_set(d["conv"], "w", conv_t(sd[f"downsample_layers.{i}.1.weight"]))
+            try_set(d["conv"], "b", sd[f"downsample_layers.{i}.1.bias"])
+    for i, depth in enumerate(cfg.depths):
+        for j in range(depth):
+            p = f"stages.{i}.{j}"
+            if f"{p}.dwconv.weight" not in sd:
+                continue
+            blk = out["stages"][i][j]
+            try_set(blk["dwconv"], "w", conv_t(sd[f"{p}.dwconv.weight"]))
+            try_set(blk["dwconv"], "b", sd[f"{p}.dwconv.bias"])
+            try_set(blk["norm"], "scale", sd[f"{p}.norm.weight"])
+            try_set(blk["norm"], "bias", sd[f"{p}.norm.bias"])
+            try_set(blk["pwconv1"], "w", np.ascontiguousarray(sd[f"{p}.pwconv1.weight"].T))
+            try_set(blk["pwconv1"], "b", sd[f"{p}.pwconv1.bias"])
+            try_set(blk["pwconv2"], "w", np.ascontiguousarray(sd[f"{p}.pwconv2.weight"].T))
+            try_set(blk["pwconv2"], "b", sd[f"{p}.pwconv2.bias"])
+            if f"{p}.gamma" in sd and "gamma" in blk:
+                try_set(blk, "gamma", sd[f"{p}.gamma"])
+    if "norm.weight" in sd:
+        try_set(out["final_norm"], "scale", sd["norm.weight"])
+        try_set(out["final_norm"], "bias", sd["norm.bias"])
+    return out
+
+
 def jax_params_to_torch_state_dict(params: Params, cfg: ConvNeXtConfig) -> Dict[str, np.ndarray]:
     """Inverse mapping, for exporting to reference-compatible safetensors
     (the analog of convert_pytorch_ckpt_to_safetensors.py)."""

@@ -117,6 +117,7 @@ def _make_factory(name: str) -> Callable[..., ConvNeXt]:
         use_roll_augment: bool = False,
         seed: int = 0,
         compute_dtype=jnp.float32,
+        pretrained_imagenet: Optional[str] = None,
         **kwargs,
     ) -> ConvNeXt:
         cfg = ConvNeXtConfig(
@@ -133,6 +134,16 @@ def _make_factory(name: str) -> Callable[..., ConvNeXt]:
             **kwargs,
         )
         params = F.init_params(jax.random.PRNGKey(seed), cfg)
+        if pretrained_imagenet:
+            # non-strict ImageNet backbone init + audio stem, the TPU-native
+            # equivalent of the reference's pretrained=True route
+            # (convnext.py:663-707); expects a local image-ConvNeXt .pth
+            import torch
+
+            from audioset_convnext_inf_tpu.checkpoint.convert import load_imagenet_backbone
+
+            sd = torch.load(pretrained_imagenet, map_location="cpu", weights_only=True)
+            params = load_imagenet_backbone(sd, cfg, params)
         return ConvNeXt(cfg, params, compute_dtype=compute_dtype)
 
     factory.__name__ = name

@@ -79,6 +79,12 @@ class PannConfig:
     res1d_layers: Tuple[int, ...] = (2, 2, 2, 2, 2, 2, 2)
     # wavegram family
     wavegram_logmel: bool = False
+    # cnn_next hybrid family (models.py:268-1876): non-residual ConvNeXt-ish
+    # blocks; each entry = (in_ch, out_ch, kernel, pool_type)
+    next_blocks: Tuple[Tuple[int, int, int, str], ...] = ()
+    next_stem: bool = True  # Conv2d(1,64,k4,s2) + channels-first LN
+    next_group1: bool = False  # BlockGroup1: dwconv stays in->in
+    use_fc1: bool = True
     spec_augment: SpecAugmentConfig = PANN_SPECAUG
 
 
@@ -184,6 +190,104 @@ def apply_cnn(params, waveform, cfg: PannConfig, frontend: LogMelFrontend,
     out = _pool_head(x, params, cfg, ctx)
     out["bn_updates"] = ctx.bn.updates
     return out
+
+
+# ---------------------------------------------------------------------------
+# CNN-with-ConvNeXt-block hybrids (models.py:268-1876, the paper's ablation
+# ladder between PANN CNNs and ConvNeXt)
+# ---------------------------------------------------------------------------
+
+
+def _init_next_block(key, in_ch, out_ch, kernel, group1: bool, pool: str) -> Params:
+    """models.py Block:61-128 / BlockGroup1:132-200 (layer_scale=0 -> no
+    gamma; residual is commented out in the reference = non-residual)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dw_out = in_ch if group1 else out_ch
+    mlp_dim = dw_out
+    p: Params = {
+        # grouped conv in->dw_out with groups=in_ch: HWIO (k, k, 1, dw_out)
+        "dwconv": {
+            "w": jax.nn.initializers.glorot_uniform()(k1, (kernel, kernel, 1, dw_out)),
+            "b": jnp.zeros((dw_out,)),
+        },
+        "norm": L.init_layer_norm(mlp_dim),
+        "pwconv1": P.glorot_linear(k2, mlp_dim, 4 * mlp_dim),
+        "pwconv2": P.glorot_linear(k3, 4 * mlp_dim, mlp_dim),
+    }
+    if pool == "conv":
+        ds_out = out_ch if group1 else out_ch
+        p["downsample"] = {
+            "norm": L.init_layer_norm(mlp_dim),
+            "conv": P.glorot_conv(k4, 2, 2, mlp_dim, ds_out, bias=True),
+        }
+    return p
+
+
+def _next_block(x, p, ctx: _Ctx, in_ch: int, kernel: int, pool: str) -> Array:
+    pad = kernel // 2
+    x = L.conv2d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=(pad, pad),
+                 feature_group_count=in_ch)
+    x = L.layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], 1e-6)
+    x = L.linear(x, p["pwconv1"]["w"], p["pwconv1"]["b"])
+    x = L.gelu(x)
+    x = L.linear(x, p["pwconv2"]["w"], p["pwconv2"]["b"])
+    if pool == "conv":
+        d = p["downsample"]
+        x = L.layer_norm(x, d["norm"]["scale"], d["norm"]["bias"], 1e-6)
+        x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
+        return x
+    if pool == "no":
+        return x
+    return P.pool2d(x, (2, 2), pool)
+
+
+def init_cnn_next(key, cfg: PannConfig) -> Params:
+    keys = iter(jax.random.split(key, len(cfg.next_blocks) + 4))
+    params: Params = {"bn0": P.init_bn(cfg.frontend.n_mels)}
+    if cfg.next_stem:
+        params["stem"] = {
+            "conv": P.glorot_conv(next(keys), 4, 4, 1, 64, bias=True),
+            "norm": L.init_layer_norm(64),
+        }
+    params["blocks"] = [
+        _init_next_block(next(keys), i, o, k, cfg.next_group1, pool)
+        for (i, o, k, pool) in cfg.next_blocks
+    ]
+    feat = cfg.next_blocks[-1][1]
+    if cfg.use_fc1:
+        fc1_out = cfg.fc1_out or feat
+        params["fc1"] = P.glorot_linear(next(keys), feat, fc1_out)
+        head_in = fc1_out
+    else:
+        head_in = feat
+    params["fc_audioset"] = P.glorot_linear(next(keys), head_in, cfg.classes_num)
+    return params
+
+
+def apply_cnn_next(params, waveform, cfg: PannConfig, frontend: LogMelFrontend,
+                   train_key=None, mixup_lambda=None):
+    ctx = _Ctx(train_key)
+    x, _ = _frontend_bn0(cfg, params, waveform, ctx, frontend, mixup_lambda)
+    if cfg.next_stem:
+        x = L.conv2d(x, params["stem"]["conv"]["w"], params["stem"]["conv"]["b"],
+                     stride=(2, 2), padding="VALID")
+        x = L.layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], 1e-6)
+    for blk, (i, o, k, pool) in zip(params["blocks"], cfg.next_blocks):
+        x = _next_block(x, blk, ctx, i, k, pool)
+        x = ctx.drop(x, cfg.block_dropout)
+    x = jnp.mean(x, axis=2)
+    x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)
+    x = ctx.drop(x, cfg.head_dropout)
+    if cfg.use_fc1:
+        x = jax.nn.relu(L.linear(x, params["fc1"]["w"], params["fc1"]["b"]))
+    embedding = ctx.drop(x, cfg.head_dropout)
+    logits = L.linear(x, params["fc_audioset"]["w"], params["fc_audioset"]["b"])
+    return {
+        "clipwise_output": jax.nn.sigmoid(logits),
+        "clipwise_logits": logits,
+        "embedding": embedding,
+        "bn_updates": ctx.bn.updates,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -547,6 +651,7 @@ def apply_wavegram(params, waveform, cfg, frontend, train_key=None, mixup_lambda
 
 _FAMILIES: Dict[str, Tuple[Callable, Callable]] = {
     "cnn": (init_cnn, apply_cnn),
+    "cnn_next": (init_cnn_next, apply_cnn_next),
     "sed": (init_sed, apply_sed),
     "resnet": (init_resnet_model, apply_resnet_model),
     "mobilenet_v1": (init_mobilenet_v1, apply_mobilenet_v1),
@@ -604,6 +709,59 @@ PANN_REGISTRY: Dict[str, PannConfig] = {
                              res1d_layers=(2, 2, 2, 2, 2, 2, 2)),
     "Res1dNet51": PannConfig(name="Res1dNet51", family="res1dnet",
                              res1d_layers=(2, 3, 4, 6, 4, 3, 2)),
+    # CNN-with-ConvNeXt-block hybrids (models.py:268-1876). Ladders read
+    # from each class's __init__/forward; Cnn7Next's head is fixed (the
+    # reference overwrites fc_audioset with a shape-incompatible layer).
+    **{
+        name: PannConfig(name=name, family="cnn_next", **kw)  # type: ignore[arg-type]
+        for name, kw in {
+            "Cnn6Next": dict(next_blocks=((64, 128, 7, "avg"), (128, 256, 7, "avg"), (256, 512, 7, "avg"))),
+            "Cnn6Next11": dict(next_blocks=((64, 128, 11, "avg"), (128, 256, 11, "avg"), (256, 512, 11, "avg"))),
+            "Cnn6Next13": dict(next_blocks=((64, 128, 13, "avg"), (128, 256, 13, "avg"), (256, 512, 13, "avg"))),
+            "Cnn6NextNoLastPool": dict(next_blocks=((64, 128, 7, "avg"), (128, 256, 7, "avg"), (256, 512, 7, "no"))),
+            "Cnn6NextConvPool": dict(next_blocks=((64, 128, 7, "conv"), (128, 256, 7, "conv"), (256, 512, 7, "conv"))),
+            "Cnn6NextConvPoolGroup1": dict(
+                next_blocks=((64, 128, 7, "conv"), (128, 256, 7, "conv"), (256, 512, 7, "conv")),
+                next_group1=True),
+            "Cnn6NextNoStem": dict(
+                next_stem=False,
+                next_blocks=((1, 64, 7, "avg"), (64, 128, 7, "avg"), (128, 256, 7, "avg"), (256, 512, 7, "no"))),
+            "Cnn6Next11NoStem": dict(
+                next_stem=False,
+                next_blocks=((1, 64, 11, "avg"), (64, 128, 11, "avg"), (128, 256, 11, "avg"), (256, 512, 11, "no"))),
+            "Cnn6Next13NoStem": dict(
+                next_stem=False,
+                next_blocks=((1, 64, 13, "avg"), (64, 128, 13, "avg"), (128, 256, 13, "avg"), (256, 512, 13, "no"))),
+            "Cnn7Next": dict(
+                next_stem=False, fc1_out=512,
+                next_blocks=((1, 64, 7, "avg"), (64, 128, 7, "avg"), (128, 256, 7, "avg"),
+                             (256, 512, 7, "avg"), (512, 1024, 7, "no"))),
+            "Cnn8NextNoStemNoFC1": dict(
+                next_stem=False, use_fc1=False,
+                next_blocks=((1, 64, 7, "avg"), (64, 128, 7, "avg"), (128, 256, 7, "avg"),
+                             (256, 512, 7, "avg"), (512, 1024, 7, "avg"), (1024, 2048, 7, "no"))),
+            "Cnn10Next": dict(
+                next_blocks=((64, 128, 7, "no"), (128, 128, 7, "avg"), (128, 256, 7, "no"),
+                             (256, 256, 7, "avg"), (256, 512, 7, "no"), (512, 512, 7, "no"))),
+            "Cnn10Next11": dict(
+                next_blocks=((64, 128, 11, "no"), (128, 128, 11, "avg"), (128, 256, 11, "no"),
+                             (256, 256, 11, "avg"), (256, 512, 11, "no"), (512, 512, 11, "no"))),
+            "Cnn10NextNoStem": dict(
+                next_stem=False,
+                next_blocks=((1, 64, 7, "no"), (64, 128, 7, "no"), (128, 128, 7, "avg"),
+                             (128, 256, 7, "no"), (256, 256, 7, "avg"), (256, 512, 7, "no"),
+                             (512, 512, 7, "no"))),
+            "Cnn10NextDropPath": dict(
+                block_dropout=0.0,
+                next_blocks=((64, 128, 7, "no"), (128, 128, 7, "avg"), (128, 256, 7, "no"),
+                             (256, 256, 7, "avg"), (256, 512, 7, "no"), (512, 512, 7, "no"))),
+            "Cnn14Next": dict(
+                next_blocks=((64, 128, 7, "no"), (128, 128, 7, "avg"), (128, 256, 7, "no"),
+                             (256, 256, 7, "avg"), (256, 512, 7, "no"), (512, 512, 7, "avg"),
+                             (512, 1024, 7, "no"), (1024, 1024, 7, "avg"), (1024, 2048, 7, "no"),
+                             (2048, 2048, 7, "no"))),
+        }.items()
+    },
     # Wavegram hybrids (models.py:4892-5205)
     "Wavegram_Cnn14": PannConfig(name="Wavegram_Cnn14", family="wavegram"),
     "Wavegram_Logmel_Cnn14": PannConfig(name="Wavegram_Logmel_Cnn14", family="wavegram",

@@ -3,20 +3,20 @@
 One Pallas kernel per (batch, row-tile) grid cell executes the entire block
 (reference convnext.py:74-87):
 
-    HBM --DMA (halo rows)--> VMEM tile (TH+6, W+6, C)
-      dwconv 7x7 as 49 shifted multiply-accumulates   (VPU, f32 acc)
-      + bias, LayerNorm (f32 stats)                   (VPU)
+    HBM --one DMA (halo'd row band)--> VMEM tile (TH+6, Wp, C)
+      dwconv 7x7 as 7 banded row loops x 7 lane shifts (VPU, f32 acc)
+      + bias, LayerNorm (f32 stats)                    (VPU)
       reshape (TH*W, C) -> GEMM1 -> tanh GELU -> GEMM2 (MXU)
-      * gamma + residual (tile center)                (VPU)
+      * gamma + residual (halo-tile center slice)      (VPU)
     --> out (TH, W, C) to HBM
 
-HBM traffic per block drops from ~12 passes (XLA's dwconv alone runs at
-~65-99 GB/s effective) to one halo read + one write. The 49-tap depthwise
-runs on the VPU - cheap relative to the MLP's MXU GEMMs which dominate.
+HBM traffic per block drops to one halo read + one write (XLA's unfused
+chain re-reads/writes the activation ~12x; its depthwise lowering alone runs
+at 65-99 GB/s effective). Constraints honored: the DMA'd width is padded to
+a multiple of 8 sublanes (Mosaic tiling), and GELU uses the tanh form
+(Mosaic has no erf) - below bf16 rounding, see ops/pallas_block.py.
 
-The W axis is part of the token dim for the GEMMs; TH is chosen per shape so
-TH*W is a multiple of 8 sublanes. Used for inference (no custom VJP);
-training falls back to the XLA path.
+Inference-only (no custom VJP); training falls back to the XLA path.
 """
 
 from __future__ import annotations
@@ -33,33 +33,31 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jnp.ndarray
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _pick_tile_rows(h: int, w: int) -> int:
-    """Rows per tile: keep ~512-1024 tokens and TH dividing padded H."""
+    """Rows per tile: keep ~1024 tokens per grid cell."""
     target = max(1, 1024 // max(w, 1))
     return min(h, target)
 
 
-def _kernel(x_hbm, res_hbm, dww_ref, dwb_ref, scale_ref, bias_ref,
+def _kernel(x_hbm, dww_ref, dwb_ref, scale_ref, bias_ref,
             w1_ref, b1_ref, w2_ref, b2_ref, gamma_ref, out_ref,
-            halo_buf, res_buf, sem, *, th: int, w: int, c: int, eps: float):
+            halo_buf, sem, *, th: int, w: int, c: int, eps: float):
     b = pl.program_id(0)
     i = pl.program_id(1)
 
-    # DMA the halo'd row band and the residual center from HBM
     copy_halo = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 6)], halo_buf, sem.at[0]
-    )
-    copy_res = pltpu.make_async_copy(
-        res_hbm.at[b, pl.ds(i * th, th)], res_buf, sem.at[1]
+        x_hbm.at[b, pl.ds(i * th, th + 6)], halo_buf, sem
     )
     copy_halo.start()
-    copy_res.start()
     copy_halo.wait()
 
     # depthwise 7x7: 7 banded row loops (fori) x 7 unrolled lane shifts.
-    # The fully unrolled 49-slice form blows up Mosaic's compile time.
     def dy_body(dy, acc):
-        row_band = halo_buf[pl.ds(dy, th)].astype(jnp.float32)  # (th, w+6, c)
+        row_band = halo_buf[pl.ds(dy, th)].astype(jnp.float32)  # (th, wp, c)
         for dx in range(7):
             win = row_band[:, dx : dx + w, :]
             tap = dww_ref[pl.ds(dy * 7 + dx, 1)][0]  # (1, c)
@@ -69,7 +67,7 @@ def _kernel(x_hbm, res_hbm, dww_ref, dwb_ref, scale_ref, bias_ref,
     acc = jax.lax.fori_loop(0, 7, dy_body, jnp.zeros((th, w, c), jnp.float32))
     acc = acc + dwb_ref[0]
 
-    # LayerNorm over C
+    # LayerNorm over C (f32)
     mean = jnp.mean(acc, axis=-1, keepdims=True)
     mean_sq = jnp.mean(acc * acc, axis=-1, keepdims=True)
     var = jnp.maximum(mean_sq - mean * mean, 0.0)
@@ -86,8 +84,8 @@ def _kernel(x_hbm, res_hbm, dww_ref, dwb_ref, scale_ref, bias_ref,
     y = jax.lax.dot_general(h1, w2_ref[:], dn, preferred_element_type=jnp.float32)
     y = (y + b2_ref[:]) * gamma_ref[:]
 
-    copy_res.wait()
-    res = res_buf[:].astype(jnp.float32).reshape(th * w, c)
+    # residual = center of the halo tile (rows 3:3+th, cols 3:3+w)
+    res = halo_buf[3 : 3 + th, 3 : 3 + w, :].astype(jnp.float32).reshape(th * w, c)
     out_ref[0] = (res + y).reshape(th, w, c).astype(dtype)
 
 
@@ -111,23 +109,22 @@ def fused_convnext_block(
     bsz, h, w, c = x.shape
     hidden = w1.shape[-1]
     th = _pick_tile_rows(h, w)
-    h_pad = -(-h // th) * th
+    h_pad = _round_up(h, th)
+    wp = _round_up(w + 6, 8)  # DMA'd width: 8-sublane aligned (Mosaic tiling)
     dtype = x.dtype
 
-    # zero-pad: +3 halo top, +3+row-tile slack bottom, +3/+3 in W
-    xp = jnp.pad(x, ((0, 0), (3, 3 + (h_pad - h)), (3, 3), (0, 0)))
-    res = jnp.pad(x, ((0, 0), (0, h_pad - h), (0, 0), (0, 0)))
+    # rows: +3 halo top, +3 halo + tile slack bottom; cols: +3 left, pad right
+    xp = jnp.pad(x, ((0, 0), (3, 3 + (h_pad - h)), (3, wp - w - 3), (0, 0)))
 
     g = gamma if gamma is not None else jnp.ones((c,), jnp.float32)
-    dww = jnp.asarray(dw_w, jnp.float32).reshape(49, 1, c)  # (tap, 1, C)
+    dww = jnp.asarray(dw_w, jnp.float32).reshape(49, 1, c)
 
     grid = (bsz, h_pad // th)
     out = pl.pallas_call(
         functools.partial(_kernel, th=th, w=w, c=c, eps=eps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x padded, manual DMA
-            pl.BlockSpec(memory_space=pltpu.ANY),  # residual, manual DMA
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x padded, manual halo DMA
             pl.BlockSpec((49, 1, c), lambda b, i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
@@ -143,9 +140,8 @@ def fused_convnext_block(
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, h_pad, w, c), dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 6, w + 6, c), dtype),
-            pltpu.VMEM((th, w, c), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((th + 6, wp, c), dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * h_pad * w * (49 * c + 2 * c * hidden),
@@ -155,7 +151,6 @@ def fused_convnext_block(
         interpret=_use_interpret(),
     )(
         xp,
-        res,
         dww,
         jnp.asarray(dw_b, jnp.float32)[None, :],
         jnp.asarray(ln_scale, jnp.float32)[None, :],
