@@ -26,9 +26,14 @@ from audioset_convnext_inf_tpu.data.audio_io import decimate_resample, int16_to_
 
 
 class AudioSetDataset:
-    def __init__(self, sample_rate: int = 32000, training: bool = False):
+    def __init__(self, sample_rate: int = 32000, training: bool = False,
+                 use_kaldi_fbank: bool = False):
+        """``use_kaldi_fbank`` is the analog of the reference's
+        use_torchaudio mode (data_generator.py:75-97): items carry a
+        host-computed (T, 224) Kaldi fbank instead of the raw waveform."""
         self.sample_rate = sample_rate
         self.training = training
+        self.use_kaldi_fbank = use_kaldi_fbank
         self._local = threading.local()
 
     def _file(self, path: str) -> h5py.File:
@@ -48,6 +53,11 @@ class AudioSetDataset:
         waveform = int16_to_float32(hf["waveform"][idx])
         waveform = decimate_resample(waveform, self.sample_rate)
         target = hf["target"][idx].astype(np.float32)
+        if self.use_kaldi_fbank:
+            from audioset_convnext_inf_tpu.ops.kaldi_fbank import kaldi_fbank
+
+            fbank = kaldi_fbank(waveform, sample_rate=self.sample_rate)
+            return {"audio_name": audio_name, "fbank": fbank, "target": target}
         return {"audio_name": audio_name, "waveform": waveform, "target": target}
 
     def close(self):

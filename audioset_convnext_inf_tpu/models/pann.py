@@ -60,7 +60,10 @@ class PannConfig:
     classes_num: int = NUM_CLASSES
     # cnn family
     channels: Tuple[int, ...] = (64, 128, 256, 512, 1024, 2048)
-    block: str = "conv"  # conv (double 3x3) | conv5x5 | sep
+    block: str = "conv"  # conv (double 3x3) | conv5x5 | sep | seppw
+    # per-block deformable-conv switches (Cnn14Deformable/Cnn6Deformable,
+    # models.py:2503-2602/3054-3149); empty = all regular
+    deformable_blocks: Tuple[int, ...] = ()
     fc1_out: int = 0  # 0 = same as trunk output channels
     block_dropout: float = 0.2
     head_dropout: float = 0.5
@@ -156,8 +159,22 @@ def _pool_head_1d(x: Array, params, cfg: PannConfig, ctx: _Ctx):
 # CNN family (Cnn6/Cnn10/Cnn14 + emb/mel/sr/ablation variants)
 # ---------------------------------------------------------------------------
 
-_BLOCK_INIT = {"conv": P.init_conv_block, "conv5x5": P.init_conv_block5x5, "sep": P.init_conv_block_sep}
-_BLOCK_FWD = {"conv": P.conv_block, "conv5x5": P.conv_block5x5, "sep": P.conv_block_sep}
+_BLOCK_INIT = {
+    "conv": P.init_conv_block,
+    "conv5x5": P.init_conv_block5x5,
+    "sep": P.init_conv_block_sep,
+    "seppw": P.init_conv_block_seppw,
+}
+_BLOCK_FWD = {
+    "conv": P.conv_block,
+    "conv5x5": P.conv_block5x5,
+    "sep": P.conv_block_sep,
+    "seppw": P.conv_block_seppw,
+}
+
+
+def _deform_kernel(block: str) -> int:
+    return 5 if block == "conv5x5" else 3
 
 
 def init_cnn(key, cfg: PannConfig) -> Params:
@@ -165,7 +182,12 @@ def init_cnn(key, cfg: PannConfig) -> Params:
     params: Params = {"bn0": P.init_bn(cfg.frontend.n_mels)}
     in_ch = 1
     for i, out_ch in enumerate(cfg.channels):
-        params[f"conv_block{i + 1}"] = _BLOCK_INIT[cfg.block](next(keys), in_ch, out_ch)
+        if (i + 1) in cfg.deformable_blocks:
+            params[f"conv_block{i + 1}"] = P.init_conv_block_deformable(
+                next(keys), in_ch, out_ch, _deform_kernel(cfg.block)
+            )
+        else:
+            params[f"conv_block{i + 1}"] = _BLOCK_INIT[cfg.block](next(keys), in_ch, out_ch)
         in_ch = out_ch
     fc1_out = cfg.fc1_out or in_ch
     params["fc1"] = P.glorot_linear(next(keys), in_ch, fc1_out)
@@ -184,8 +206,13 @@ def apply_cnn(params, waveform, cfg: PannConfig, frontend: LogMelFrontend,
         # Cnn14 pools (2,2) for blocks 1-5 and (1,1) for block 6; the 4-block
         # Cnn6/Cnn10 pool (2,2) everywhere (models.py:2154-2165, 2836-2844, 3216)
         pool = (1, 1) if (n == 6 and i == n - 1) else (2, 2)
-        x = _BLOCK_FWD[cfg.block](x, params[f"conv_block{i + 1}"], ctx.bn,
-                                  f"conv_block{i + 1}", pool_size=pool, pool_type="avg")
+        if (i + 1) in cfg.deformable_blocks:
+            x = P.conv_block_deformable(x, params[f"conv_block{i + 1}"], ctx.bn,
+                                        f"conv_block{i + 1}", pool_size=pool,
+                                        pool_type="avg", kernel=_deform_kernel(cfg.block))
+        else:
+            x = _BLOCK_FWD[cfg.block](x, params[f"conv_block{i + 1}"], ctx.bn,
+                                      f"conv_block{i + 1}", pool_size=pool, pool_type="avg")
         x = ctx.drop(x, cfg.block_dropout)
     out = _pool_head(x, params, cfg, ctx)
     out["bn_updates"] = ctx.bn.updates
@@ -673,6 +700,13 @@ PANN_REGISTRY: Dict[str, PannConfig] = {
     # PANN CNNs (models.py:2090,2773,3150)
     "Cnn14": _cnn14("Cnn14"),
     "Cnn14Sep": _cnn14("Cnn14Sep", block="sep"),
+    "Cnn14SepPW": _cnn14("Cnn14SepPW", block="seppw"),
+    # reference default is deformable=None (== plain); registered here with
+    # the last two blocks deformable so the gather+matmul path is exercised
+    "Cnn14Deformable": _cnn14("Cnn14Deformable", deformable_blocks=(5, 6)),
+    "Cnn6Deformable": PannConfig(name="Cnn6Deformable", family="cnn",
+                                 channels=(64, 128, 256, 512), block="conv5x5",
+                                 deformable_blocks=(3, 4)),
     "Cnn6": PannConfig(name="Cnn6", family="cnn", channels=(64, 128, 256, 512), block="conv5x5"),
     "Cnn10": PannConfig(name="Cnn10", family="cnn", channels=(64, 128, 256, 512)),
     # ablations (models.py:2604,2688,5402)

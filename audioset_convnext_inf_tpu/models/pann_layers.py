@@ -214,6 +214,85 @@ def conv_block_sep(x, p, bn: BnCtx, path: str, pool_size=(2, 2), pool_type="avg"
     return pool2d(x, pool_size, pool_type)
 
 
+def init_deform_conv(key, k, in_ch, out_ch) -> Params:
+    """DeformableConv2d params (models.py:202-236): zero-init offset and
+    modulator convs + trunc-normal regular conv."""
+    from audioset_convnext_inf_tpu.models.layers import trunc_normal
+
+    return {
+        "offset": {"w": jnp.zeros((k, k, in_ch, 2 * k * k)), "b": jnp.zeros((2 * k * k,))},
+        "modulator": {"w": jnp.zeros((k, k, in_ch, k * k)), "b": jnp.zeros((k * k,))},
+        "regular": {"w": trunc_normal(key, (k, k, in_ch, out_ch), std=0.02)},
+    }
+
+
+def deform_conv_apply(x: Array, p: Params, k: int) -> Array:
+    """Forward of DeformableConv2d (models.py:237-265): offsets clamped to
+    max(h,w)/4, modulator = 2*sigmoid(conv)."""
+    from audioset_convnext_inf_tpu.ops.deform_conv import deform_conv2d
+
+    pad = k // 2
+    h, w = x.shape[1:3]
+    max_offset = max(h, w) / 4.0
+    offset = jnp.clip(L.conv2d(x, p["offset"]["w"], p["offset"]["b"], padding=(pad, pad)),
+                      -max_offset, max_offset)
+    modulator = 2.0 * jax.nn.sigmoid(
+        L.conv2d(x, p["modulator"]["w"], p["modulator"]["b"], padding=(pad, pad))
+    )
+    return deform_conv2d(x, offset, p["regular"]["w"], mask=modulator, padding=(pad, pad))
+
+
+def init_conv_block_seppw(key, in_ch, out_ch) -> Params:
+    """ConvBlockSepPW (models.py:2330-2399): dense 3x3 + depthwise 3x3 +
+    2x-expansion pointwise MLP."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "conv1": glorot_conv(k1, 3, 3, in_ch, out_ch),
+        "conv2": {"w": jax.nn.initializers.glorot_uniform()(k2, (3, 3, 1, out_ch))},
+        "bn1": init_bn(out_ch),
+        "bn2": init_bn(out_ch),
+        "pwconv1": glorot_linear(k3, out_ch, 2 * out_ch),
+        "pwconv2": glorot_linear(k4, 2 * out_ch, out_ch),
+    }
+
+
+def conv_block_seppw(x, p, bn: BnCtx, path: str, pool_size=(2, 2), pool_type="avg") -> Array:
+    import jax.nn as jnn
+
+    x = jax.nn.relu(bn(L.conv2d(x, p["conv1"]["w"], padding=(1, 1)), p["bn1"], path + ".bn1"))
+    dim = x.shape[-1]
+    x = jax.nn.relu(
+        bn(L.conv2d(x, p["conv2"]["w"], padding=(1, 1), feature_group_count=dim),
+           p["bn2"], path + ".bn2")
+    )
+    x = L.linear(x, p["pwconv1"]["w"], p["pwconv1"]["b"])
+    x = L.gelu(x)
+    x = L.linear(x, p["pwconv2"]["w"], p["pwconv2"]["b"])
+    return pool2d(x, pool_size, pool_type)
+
+
+def init_conv_block_deformable(key, in_ch, out_ch, kernel: int = 3) -> Params:
+    """ConvBlock/ConvBlock5x5 with deformable convs (models.py:1877-1929 with
+    deformable=True)."""
+    k1, k2 = jax.random.split(key)
+    p = {
+        "conv1": init_deform_conv(k1, kernel, in_ch, out_ch),
+        "bn1": init_bn(out_ch),
+    }
+    if kernel == 3:  # double-conv block
+        p["conv2"] = init_deform_conv(k2, kernel, out_ch, out_ch)
+        p["bn2"] = init_bn(out_ch)
+    return p
+
+
+def conv_block_deformable(x, p, bn: BnCtx, path: str, pool_size=(2, 2),
+                          pool_type="avg", kernel: int = 3) -> Array:
+    x = jax.nn.relu(bn(deform_conv_apply(x, p["conv1"], kernel), p["bn1"], path + ".bn1"))
+    if "conv2" in p:
+        x = jax.nn.relu(bn(deform_conv_apply(x, p["conv2"], kernel), p["bn2"], path + ".bn2"))
+    return pool2d(x, pool_size, pool_type)
+
+
 # ---------------------------------------------------------------------------
 # Attention pooling (models.py AttBlock:2059-2088)
 # ---------------------------------------------------------------------------
