@@ -47,6 +47,11 @@ class FrontendConfig:
     # Implementation selector: "xla" = framing + GEMM-DFT in plain JAX,
     # "pallas" = fused Pallas kernel (frames->DFT->power->mel->log in VMEM).
     impl: str = "xla"
+    # Matmul precision of the DFT/mel GEMMs: "highest" = true f32 (parity
+    # with torchlibrosa, ~1e-4 dB error), "high" = bf16x3 passes (~2x
+    # faster, error still below bf16-trunk rounding except in near-silent
+    # bins). Applies to the XLA implementation.
+    precision: str = "highest"
 
     @property
     def freq_bins(self) -> int:

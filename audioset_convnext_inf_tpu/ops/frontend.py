@@ -184,17 +184,20 @@ def power_spectrogram(
     frames = frame_signal(waveform, cfg.n_fft, cfg.hop_length, num_frames)
     cos_b, sin_b = _dft_bases(cfg.n_fft, cfg.win_length)
     # The DFT is numerically delicate: near-silent bins are tiny differences
-    # of large windowed sums, and JAX's default (bf16-passes) matmul
+    # of large windowed sums, and JAX's default (single-pass bf16) matmul
     # precision turns into multi-dB log-domain error. HIGHEST restores true
-    # f32 GEMM accuracy (~1e-4 dB vs f64) at negligible cost next to the trunk.
+    # f32 GEMM accuracy (~1e-4 dB vs f64); HIGH (bf16x3) is a faster middle
+    # ground whose residual error sits below bf16-trunk rounding.
+    prec = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[cfg.precision]
     frames = frames.astype(jnp.float32)
     re = jnp.einsum(
         "btn,nk->btk", frames, jnp.asarray(cos_b),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        precision=prec, preferred_element_type=jnp.float32,
     )
     im = jnp.einsum(
         "btn,nk->btk", frames, jnp.asarray(sin_b),
-        precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32,
+        precision=prec, preferred_element_type=jnp.float32,
     )
     return re * re + im * im
 
@@ -227,11 +230,13 @@ def log_mel_spectrogram(
             mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
         )
     power = power_spectrogram(waveform, cfg, compute_dtype=compute_dtype)
+    mel_prec = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[cfg.precision]
     mel_power = jnp.einsum(
         "btk,mk->btm",
         power,
         mel_weights.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mel_prec,
         preferred_element_type=jnp.float32,
     )
     logmel = power_to_db(mel_power, cfg.amin, cfg.ref, cfg.top_db)

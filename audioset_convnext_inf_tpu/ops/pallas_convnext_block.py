@@ -17,6 +17,13 @@ a multiple of 8 sublanes (Mosaic tiling), and GELU uses the tanh form
 (Mosaic has no erf) - below bf16 rounding, see ops/pallas_block.py.
 
 Inference-only (no custom VJP); training falls back to the XLA path.
+
+STATUS: EXPERIMENTAL - interpret-mode verified (matches the XLA block to
+3e-5 + tanh-GELU delta), but Mosaic's compile time for the unaligned
+sublane-offset window slices in the dwconv (band[:, dx:dx+W]) is
+pathological (>10 min) on the current toolchain, so the production path
+uses ops/pallas_block.py (fused LN->MLP tail, dwconv in XLA). Revisit with
+pltpu.roll-based shifts or once Mosaic handles unaligned value slices.
 """
 
 from __future__ import annotations
