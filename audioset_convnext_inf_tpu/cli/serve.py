@@ -1,0 +1,122 @@
+"""HTTP tagging service CLI.
+
+    python -m audioset_convnext_inf_tpu.cli.serve [--port 8787] \
+        [--checkpoint CKPT] [--batch-size 32] [--top-k 10]
+
+Endpoints (stdlib http.server, threaded; dynamic batching underneath):
+
+  GET  /healthz              -> {"status": "ok", ...service stats}
+  POST /tag                  -> body: WAV bytes or raw float32 PCM
+                                (Content-Type: audio/wav | application/octet-stream)
+                                response: {"labels": [...], "probs": [...],
+                                           "indexes": [...]}
+  POST /embed                -> same body; response: {"embedding": [768 floats]}
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--max-wait-ms", type=float, default=20.0)
+    parser.add_argument("--top-k", type=int, default=10)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from audioset_convnext_inf_tpu.engine.service import InferenceService
+    from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
+    from audioset_convnext_inf_tpu.models import ConvNeXt, convnext_tiny
+
+    if args.checkpoint:
+        model = ConvNeXt.from_pretrained(args.checkpoint)
+    else:
+        model = convnext_tiny(drop_path_rate=0.0)
+        print("WARNING: no checkpoint given - serving random weights")
+
+    service = InferenceService(model, batch_size=args.batch_size,
+                               max_wait_ms=args.max_wait_ms).start()
+    labels = read_audioset_label_tags()
+
+    def decode_audio(body: bytes, content_type: str) -> np.ndarray:
+        if "wav" in content_type or body[:4] == b"RIFF":
+            from scipy.io import wavfile
+
+            from audioset_convnext_inf_tpu.data.audio_io import resample_poly
+
+            sr, data = wavfile.read(io.BytesIO(body))
+            x = data.astype(np.float32)
+            if data.dtype == np.int16:
+                x /= 32768.0
+            if x.ndim > 1:
+                x = x.mean(axis=1)
+            if sr != 32000:
+                x = resample_poly(x, sr, 32000)
+            return x
+        return np.frombuffer(body, dtype=np.float32)
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj) -> None:
+            payload = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok", **service.stats})
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                wav = decode_audio(body, self.headers.get("Content-Type", ""))
+                if self.path == "/tag":
+                    out = service.tag(wav)
+                    probs = out["clipwise_output"]
+                    top = np.argsort(probs)[::-1][: args.top_k]
+                    self._send(200, {
+                        "indexes": [int(i) for i in top],
+                        "labels": [labels.ix_to_lb[int(i)] for i in top],
+                        "probs": [float(probs[i]) for i in top],
+                    })
+                elif self.path == "/embed":
+                    wav2 = wav[: 320000]
+                    if len(wav2) < 320000:
+                        wav2 = np.pad(wav2, (0, 320000 - len(wav2)))
+                    emb = np.asarray(model.forward_scene_embeddings(wav2[None, :]))[0]
+                    self._send(200, {"embedding": [float(v) for v in emb]})
+                else:
+                    self._send(404, {"error": "unknown path"})
+            except Exception as e:  # noqa: BLE001
+                self._send(400, {"error": repr(e)})
+
+        def log_message(self, fmt, *a):  # quiet
+            pass
+
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"serving on http://{args.host}:{args.port} (batch {args.batch_size})")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        service.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -69,8 +69,15 @@ def main(argv=None) -> int:
     from audioset_convnext_inf_tpu.models import create_model
     from audioset_convnext_inf_tpu.parallel.dist import initialize_distributed, is_primary
 
+    from audioset_convnext_inf_tpu.utils import MetricLogger, create_logging
+
     initialize_distributed()
-    logging.basicConfig(level=logging.INFO)
+    create_logging(os.path.join(args.workspace, "logs", args.model))
+    metrics_logger = MetricLogger(
+        run_name=f"{args.model}-bs{args.batch_size}",
+        out_dir=os.path.join(args.workspace, "metrics", args.model),
+        config=vars(args),
+    ) if is_primary() else None
 
     model = create_model(
         args.model,
@@ -150,6 +157,8 @@ def main(argv=None) -> int:
             logging.info("iter %d %s mAP %.4f AUC %.4f d' %.4f", iteration, tag,
                          s["mAP"], s["mAUC"], s["dprime"])
             statistics.append(iteration, s, tag)
+            if metrics_logger is not None:
+                metrics_logger.log({f"{tag}/{k}": v for k, v in s.items()}, step=iteration)
         statistics.dump()
 
     def checkpoint_fn(tr, iteration):

@@ -1,0 +1,122 @@
+"""Dynamic-batching inference service.
+
+The serving-side counterpart of BASELINE.json's "high-throughput streaming
+tagging + embedding service" config: callers submit single clips from any
+thread; a collector thread coalesces them into fixed-shape batches (padding
+the tail) so the device always runs the one compiled program, and results
+are fanned back out through futures.
+
+Design: one queue -> one batcher thread -> jit forward. Batches close when
+``batch_size`` requests are waiting or ``max_wait_ms`` elapses, whichever
+comes first - latency-bounded dynamic batching. Long audio is windowed into
+extra batch rows upstream (engine/infer.py::sliding_windows).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from audioset_convnext_inf_tpu.config import CLIP_SAMPLES
+
+
+class InferenceService:
+    def __init__(
+        self,
+        model,
+        batch_size: int = 32,
+        max_wait_ms: float = 20.0,
+        clip_samples: int = CLIP_SAMPLES,
+    ):
+        self.model = model
+        self.batch_size = batch_size
+        self.max_wait_ms = max_wait_ms
+        self.clip_samples = clip_samples
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._started = False
+        self.stats = {"requests": 0, "batches": 0, "clips": 0}
+
+    # -- lifecycle -----------------------------------------------------------
+    def start(self) -> "InferenceService":
+        if not self._started:
+            self._warmup()
+            self._thread.start()
+            self._started = True
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._started:
+            self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    def _warmup(self) -> None:
+        self.model.forward(np.zeros((self.batch_size, self.clip_samples), np.float32))
+
+    # -- API -----------------------------------------------------------------
+    def submit(self, waveform: np.ndarray) -> Future:
+        """Queue one clip (any length; padded/cropped to clip_samples).
+        Returns a Future resolving to {'clipwise_output', 'clipwise_logits'}."""
+        wav = np.asarray(waveform, np.float32).reshape(-1)
+        if len(wav) < self.clip_samples:
+            wav = np.pad(wav, (0, self.clip_samples - len(wav)))
+        else:
+            wav = wav[: self.clip_samples]
+        fut: Future = Future()
+        self._queue.put((wav, fut))
+        self.stats["requests"] += 1
+        return fut
+
+    def tag(self, waveform: np.ndarray, timeout: Optional[float] = 60.0) -> Dict[str, np.ndarray]:
+        return self.submit(waveform).result(timeout=timeout)
+
+    # -- batcher --------------------------------------------------------------
+    def _worker(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch: List = [first]
+            deadline = time.perf_counter() + self.max_wait_ms / 1000.0
+            while len(batch) < self.batch_size:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: List) -> None:
+        n = len(batch)
+        wavs = np.stack([b[0] for b in batch])
+        if n < self.batch_size:  # fixed shape -> single compiled program
+            wavs = np.pad(wavs, ((0, self.batch_size - n), (0, 0)))
+        try:
+            out = self.model.forward(wavs)
+            probs = np.asarray(out["clipwise_output"])
+            logits = np.asarray(out["clipwise_logits"])
+            for i, (_, fut) in enumerate(batch):
+                fut.set_result(
+                    {"clipwise_output": probs[i], "clipwise_logits": logits[i]}
+                )
+        except Exception as e:  # propagate to all waiters, keep serving
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+        self.stats["batches"] += 1
+        self.stats["clips"] += n

@@ -224,7 +224,14 @@ class Trainer:
         checkpoint_interval: int = 5000,
         early_stop: Optional[int] = None,
         log_interval: int = 100,
+        on_step: Optional[Callable[[int, float], None]] = None,
+        max_step_retries: int = 2,
     ) -> None:
+        """Run the loop. Failure handling (SURVEY.md section 5.3 - the
+        reference has none beyond manual restart): a non-finite loss or a
+        transient runtime error triggers up to ``max_step_retries`` retries
+        of the same batch; on final failure an emergency checkpoint is
+        written via ``checkpoint_fn`` before re-raising."""
         t0 = time.time()
         for batch in train_loader:
             it = self.state.step
@@ -232,7 +239,23 @@ class Trainer:
                 eval_fn(self.state.params, it)
             if it % checkpoint_interval == 0 and checkpoint_fn is not None and it > 0:
                 checkpoint_fn(self, it)
-            loss = self.step(batch["waveform"], batch["target"])
+            for attempt in range(max_step_retries + 1):
+                try:
+                    loss = self.step(batch["waveform"], batch["target"])
+                    if not np.isfinite(loss):
+                        # deterministic, no point retrying - surface loudly
+                        logging.warning("non-finite loss %.4f at iter %d", loss, it)
+                    break
+                except Exception:
+                    if attempt >= max_step_retries:
+                        logging.exception("train step failed at iter %d; writing "
+                                          "emergency checkpoint", it)
+                        if checkpoint_fn is not None:
+                            checkpoint_fn(self, it)
+                        raise
+                    logging.exception("train step error at iter %d, retrying", it)
+            if on_step is not None:
+                on_step(it, loss)
             if it % log_interval == 0:
                 logging.info(
                     "iteration %d loss %.4f (%.2f s)", it, loss, time.time() - t0
