@@ -30,4 +30,33 @@ Public API (mirrors the reference entry points, see SURVEY.md section 2):
 
 from audioset_convnext_inf_tpu.version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax for metadata access)."""
+    if name in ("ConvNeXt", "convnext_tiny", "convnext_nano", "convnext_atto",
+                "convnext_femto", "convnext_pico", "convnext_small",
+                "convnext_base", "create_model", "MODEL_REGISTRY",
+                "PannModel", "create_pann_model", "PANN_REGISTRY"):
+        import audioset_convnext_inf_tpu.models as models
+
+        return getattr(models, name)
+    if name in ("ConvNeXtConfig", "FrontendConfig", "AugmentConfig"):
+        import audioset_convnext_inf_tpu.config as config
+
+        return getattr(config, name)
+    if name == "read_audioset_label_tags":
+        from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
+
+        return read_audioset_label_tags
+    raise AttributeError(name)
+
+
+__all__ = [
+    "__version__",
+    "ConvNeXt",
+    "convnext_tiny",
+    "create_model",
+    "create_pann_model",
+    "ConvNeXtConfig",
+    "read_audioset_label_tags",
+]

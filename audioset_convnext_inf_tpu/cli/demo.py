@@ -23,9 +23,13 @@ def main(argv=None) -> int:
                              "omit for random weights (pipeline demo)")
     parser.add_argument("--threshold", type=float, default=0.25)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--long-audio", action="store_true",
+                        help="tag arbitrary-length audio with 10-s sliding "
+                             "windows (max-reduced) instead of crop/pad")
+    parser.add_argument("--window-hop-seconds", type=float, default=10.0)
     args = parser.parse_args(argv)
 
-    from audioset_convnext_inf_tpu.engine.infer import load_clip, tag_clip
+    from audioset_convnext_inf_tpu.engine.infer import load_clip, tag_clip, tag_long_audio
     from audioset_convnext_inf_tpu.models import ConvNeXt, convnext_tiny
 
     if args.checkpoint:
@@ -36,8 +40,24 @@ def main(argv=None) -> int:
         print("WARNING: no checkpoint given - using random weights")
     print(f"# params: {model.count_parameters()}")
 
-    clip = load_clip(args.audio)
     print(f"\nInference on: {args.audio}\n")
+    if args.long_audio:
+        from audioset_convnext_inf_tpu.config import SAMPLE_RATE
+        from audioset_convnext_inf_tpu.data.audio_io import read_wav
+        from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
+
+        wav, _ = read_wav(args.audio, target_sr=SAMPLE_RATE)
+        out = tag_long_audio(model, wav,
+                             hop_samples=int(args.window_hop_seconds * SAMPLE_RATE))
+        probs = out["clipwise_output"]
+        idx = np.where(probs > args.threshold)[0]
+        lm = read_audioset_label_tags()
+        print(f"windows: {out['windowwise_output'].shape[0]}")
+        print(np.array(idx))
+        for i in idx:
+            print(f"  {i:4d}  {lm.ix_to_lb[int(i)]}  p={probs[i]:.3f}")
+        return 0
+    clip = load_clip(args.audio)
 
     result = tag_clip(model, clip, threshold=args.threshold)
     print(f"logits size: {(1,) + result['logits'].shape}")
