@@ -62,13 +62,18 @@ def _kernel(x_hbm, dww_ref, dwb_ref, scale_ref, bias_ref,
     copy_halo.start()
     copy_halo.wait()
 
-    # depthwise 7x7: 7 banded row loops (fori) x 7 unrolled lane shifts.
+    # depthwise 7x7: 7 banded row loops (fori) x 7 column shifts realized as
+    # pltpu.roll + aligned prefix slice. Unaligned sublane-offset slices
+    # (band[:, dx:dx+w]) make Mosaic's compile time pathological; roll is a
+    # native op (verified bit-exact vs lax depthwise conv).
+    wp_cols = halo_buf.shape[1]
+
     def dy_body(dy, acc):
         row_band = halo_buf[pl.ds(dy, th)].astype(jnp.float32)  # (th, wp, c)
         for dx in range(7):
-            win = row_band[:, dx : dx + w, :]
+            shifted = pltpu.roll(row_band, wp_cols - dx, 1) if dx else row_band
             tap = dww_ref[pl.ds(dy * 7 + dx, 1)][0]  # (1, c)
-            acc = acc + win * tap
+            acc = acc + shifted[:, :w, :] * tap
         return acc
 
     acc = jax.lax.fori_loop(0, 7, dy_body, jnp.zeros((th, w, c), jnp.float32))
