@@ -18,12 +18,14 @@ a multiple of 8 sublanes (Mosaic tiling), and GELU uses the tanh form
 
 Inference-only (no custom VJP); training falls back to the XLA path.
 
-STATUS: EXPERIMENTAL - interpret-mode verified (matches the XLA block to
-3e-5 + tanh-GELU delta), but Mosaic's compile time for the unaligned
-sublane-offset window slices in the dwconv (band[:, dx:dx+W]) is
-pathological (>10 min) on the current toolchain, so the production path
-uses ops/pallas_block.py (fused LN->MLP tail, dwconv in XLA). Revisit with
-pltpu.roll-based shifts or once Mosaic handles unaligned value slices.
+STATUS: EXPERIMENTAL, NOT the production path. Measured on v5e (B=128,
+pltpu.roll-based column shifts, which compile; unaligned sublane-offset
+slices hang Mosaic >10 min): SLOWER than the shipped tail-fusion +
+XLA-dwconv path - 7.2 vs 5.2 ms on 31x7x768, 10.3 vs 5.5 ms on 63x14x384 -
+the in-kernel VPU dwconv serializes against the MXU MLP instead of
+pipelining, and C not a multiple of 128 (stage 2's 192) still fails DMA
+lane-tiling alignment. Kept as a documented experiment; production uses
+ops/pallas_block.py (fused LN->MLP tail).
 """
 
 from __future__ import annotations

@@ -1,0 +1,23 @@
+"""Driver-contract tests: entry() compiles single-(virtual-)chip, and the
+multichip dry run executes one sharded training step."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def test_entry_compiles_and_runs():
+    import __graft_entry__ as g
+
+    fn, (params, wav) = g.entry()
+    out = jax.jit(fn)(params, wav)
+    assert out.shape == (wav.shape[0], 527)
+    probs = np.asarray(out, np.float32)
+    assert np.isfinite(probs).all() and (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)  # raises on failure
