@@ -50,11 +50,13 @@ class Evaluator:
             return out["clipwise_output"]
 
         self._sharding = batch_sharding(self.mesh)
-        self._forward = jax.jit(
-            _forward,
-            in_shardings=(None, self._sharding),
-            out_shardings=self._sharding,
-        )
+        # shardings come from the device_put inputs; explicit jit
+        # in_shardings runs ~60x slower through the remote-relay backend
+        self._forward = jax.jit(_forward)
+        if self.mesh.size > 1:
+            from audioset_convnext_inf_tpu.parallel.mesh import replicate
+
+            self.params = jax.device_put(self.params, replicate(self.mesh))
 
     def infer_probs(self, loader: Iterable) -> Dict[str, np.ndarray]:
         """Forward every batch; returns {'clipwise_output', 'target'} (N, C)."""

@@ -180,10 +180,11 @@ def make_train_step(
         params = dict(params, bn0=new_bn)
         return params, opt_state, loss
 
-    return jax.jit(
-        train_step,
-        in_shardings=(None, None, data_sharding, data_sharding, None, None),
-    )
+    # NOTE: shardings are carried by the *inputs* (device_put in
+    # Trainer.step / init), not by jit in_shardings - explicit in_shardings
+    # takes a ~60x slower execution path through the remote-relay backend,
+    # and input-propagated shardings are equivalent for this layout.
+    return jax.jit(train_step)
 
 
 class Trainer:
@@ -201,6 +202,12 @@ class Trainer:
         self.train_cfg = train_cfg
         self.mesh = mesh if mesh is not None else get_mesh()
         self.tx = make_optimizer(params, train_cfg)
+        if self.mesh.size > 1:
+            # replicate params across the mesh so XLA sees a fully-specified
+            # layout from the inputs (batch arrives data-sharded)
+            from audioset_convnext_inf_tpu.parallel.mesh import replicate
+
+            params = jax.device_put(params, replicate(self.mesh))
         self.state = TrainState(params=params, opt_state=self.tx.init(params), step=0)
         self._step_fn = make_train_step(model_cfg, train_cfg, self.tx, self.mesh, loss_fn)
         self._key = jax.random.PRNGKey(train_cfg.seed)

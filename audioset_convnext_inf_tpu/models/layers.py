@@ -146,7 +146,13 @@ def conv2d(
     padding="VALID",
     feature_group_count: int = 1,
 ) -> Array:
-    """NHWC conv with HWIO weights; accumulates in float32."""
+    """NHWC conv with HWIO weights.
+
+    MXU accumulation is f32 internally regardless of output dtype; we only
+    request an f32 *output* for f32 inputs. For bf16 inputs the output stays
+    bf16 - asking for f32 there makes the conv's transpose (gradient) rule
+    mix an f32 cotangent with bf16 weights and fail under autodiff.
+    """
     if isinstance(padding, tuple):
         padding = [(p, p) for p in padding]
     y = jax.lax.conv_general_dilated(
@@ -156,7 +162,7 @@ def conv2d(
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=feature_group_count,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
     )
     if b is not None:
         y = y + b

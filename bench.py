@@ -53,7 +53,13 @@ def main() -> None:
         # fold output back into input: forces sequential execution of the chain
         return wav + 0.0 * jnp.sum(probs)
 
-    step = jax.jit(step, in_shardings=(None, sharding), out_shardings=sharding)
+    # shardings propagate from the device_put input (explicit in_shardings
+    # is pathologically slow through the remote relay - see NOTES.md)
+    step = jax.jit(step)
+    if n_chips > 1:
+        from audioset_convnext_inf_tpu.parallel.mesh import replicate
+
+        params = jax.device_put(params, replicate(mesh))
 
     b = args.batch_size * n_chips
     rng = np.random.RandomState(0)
