@@ -42,6 +42,28 @@ def test_convert_cli_roundtrip(tmp_path, capsys):
     )
 
 
+def test_demo_cli_with_safetensors_checkpoint(tmp_path, sample_wav_path, capsys):
+    """from_pretrained(.safetensors) through the demo CLI - the exact path a
+    user of the published checkpoint takes."""
+    import jax
+
+    from audioset_convnext_inf_tpu.checkpoint import save_safetensors
+    from audioset_convnext_inf_tpu.cli.demo import main
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = ConvNeXtConfig(drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(2), cfg)
+    st = str(tmp_path / "model.safetensors")
+    save_safetensors(params, cfg, st)
+
+    rc = main([sample_wav_path, "--checkpoint", st, "--threshold", "0.9"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Loaded ckpt from" in out
+    assert "# params: 28222767" in out
+
+
 def test_pack_and_evaluate_cli(tmp_path, capsys):
     from scipy.io import wavfile
 
