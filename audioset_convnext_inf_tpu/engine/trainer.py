@@ -151,7 +151,6 @@ def make_train_step(
     With mixup enabled the incoming batch is 2B and the effective batch B.
     """
     mesh = mesh if mesh is not None else get_mesh()
-    data_sharding = batch_sharding(mesh)
     compute_dtype = jnp.bfloat16 if train_cfg.bf16_compute else jnp.float32
     frontend = LogMelFrontend(model_cfg.frontend, compute_dtype=compute_dtype)
     use_mixup = train_cfg.mixup_alpha > 0
