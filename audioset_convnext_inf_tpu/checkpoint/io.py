@@ -64,12 +64,14 @@ def _resolve_checkpoint_path(path_or_id: str) -> str:
     """
     if os.path.exists(path_or_id):
         return path_or_id
-    if os.sep in path_or_id or path_or_id.endswith((".pth", ".safetensors")):
+    if not path_or_id.startswith(("http://", "https://")) and (
+        os.sep in path_or_id or path_or_id.endswith((".pth", ".safetensors"))
+    ):
         raise FileNotFoundError(
             f"checkpoint path {path_or_id!r} does not exist (pass an existing "
             "file/directory, an https URL, or a HuggingFace model id)"
         )
-    if "https" in path_or_id:
+    if path_or_id.startswith(("http://", "https://")):
         import urllib.request
 
         cache = os.path.join(

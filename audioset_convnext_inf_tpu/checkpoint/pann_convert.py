@@ -131,13 +131,9 @@ def _rewrite_path(cfg: PannConfig, key: str) -> List:
 
 
 def _mbv2_meta():
-    from audioset_convnext_inf_tpu.models.pann import _MBV2_SETTING
+    from audioset_convnext_inf_tpu.models.pann import _mbv2_block_meta
 
-    meta = []
-    for t, c, n, s in _MBV2_SETTING:
-        for i in range(n):
-            meta.append((t, s if i == 0 else 1))
-    return meta
+    return _mbv2_block_meta()
 
 
 def _resnet_path(parts: List[str], bn_at: int) -> List:

@@ -51,14 +51,13 @@ def main(argv=None) -> int:
         if "wav" in content_type or body[:4] == b"RIFF":
             from scipy.io import wavfile
 
-            from audioset_convnext_inf_tpu.data.audio_io import resample_poly
+            from audioset_convnext_inf_tpu.data.audio_io import (
+                normalize_pcm,
+                resample_poly,
+            )
 
             sr, data = wavfile.read(io.BytesIO(body))
-            x = data.astype(np.float32)
-            if data.dtype == np.int16:
-                x /= 32768.0
-            if x.ndim > 1:
-                x = x.mean(axis=1)
+            x = normalize_pcm(data)  # int16/int32/uint8/float -> [-1,1] mono
             if sr != 32000:
                 x = resample_poly(x, sr, 32000)
             return x

@@ -139,10 +139,17 @@ def main(argv=None) -> int:
         num_workers=args.num_workers,
     )
 
+    # one Evaluator for the whole run: its jitted forward takes params as an
+    # argument, so fresh params per eval reuse the same compiled program
+    evaluator = Evaluator(params, cfg) if is_primary() and (
+        args.eval_indexes or args.bal_indexes
+    ) else None
+
     def eval_fn(params, iteration):
-        if not is_primary():
+        if evaluator is None:
             return
-        ev = Evaluator(params, cfg)
+        ev = evaluator
+        ev.params = params
         for tag, path in (("bal", args.bal_indexes), ("test", args.eval_indexes)):
             if not path:
                 continue

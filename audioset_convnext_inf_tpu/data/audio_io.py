@@ -64,15 +64,8 @@ def resample_poly(waveform: np.ndarray, orig_sr: int, target_sr: int) -> np.ndar
     return out.astype(np.float32)
 
 
-def read_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tuple[np.ndarray, int]:
-    """Read a WAV file -> (float32 waveform in [-1, 1], sample_rate).
-
-    Optionally downmixes to mono (channel mean, like soundfile+mean in
-    dataset.py:204-207) and resamples to ``target_sr``.
-    """
-    from scipy.io import wavfile
-
-    sr, data = wavfile.read(path)
+def normalize_pcm(data: np.ndarray, mono: bool = True) -> np.ndarray:
+    """PCM samples of any WAV dtype -> float32 in [-1, 1], optionally mono."""
     if data.dtype == np.int16:
         x = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -83,6 +76,19 @@ def read_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tupl
         x = data.astype(np.float32)
     if mono and x.ndim > 1:
         x = x.mean(axis=1)
+    return x
+
+
+def read_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Read a WAV file -> (float32 waveform in [-1, 1], sample_rate).
+
+    Optionally downmixes to mono (channel mean, like soundfile+mean in
+    dataset.py:204-207) and resamples to ``target_sr``.
+    """
+    from scipy.io import wavfile
+
+    sr, data = wavfile.read(path)
+    x = normalize_pcm(data, mono=mono)
     if target_sr is not None and sr != target_sr:
         x = resample_poly(x, sr, target_sr)
         sr = target_sr

@@ -122,9 +122,9 @@ def make_optimizer(params: Params, cfg: TrainConfig) -> optax.GradientTransforma
         tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
-    # bn0 running stats receive zero gradient (train mode normalizes with
-    # batch stats) and rank-1 tensors get no weight decay, so Adam leaves
-    # them untouched; the train step then overwrites them functionally.
+    # bn0 running mean/var receive zero gradient (train mode normalizes with
+    # batch statistics), so Adam leaves them untouched; the train step then
+    # overwrites them functionally. bn0 scale/bias train normally.
     if cfg.accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulation_steps)
     return tx
@@ -175,8 +175,14 @@ def make_train_step(
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        # bn0 running stats: functional update (not part of the gradient path)
-        params = dict(params, bn0=new_bn)
+        # bn0 running stats: functional update. Only mean/var come from the
+        # batch-stat pass - scale/bias ARE trainable (they affect the loss
+        # through the batch-stat normalization) and must keep the optimizer
+        # update rather than being clobbered with their pre-step values.
+        params = dict(
+            params,
+            bn0=dict(params["bn0"], mean=new_bn["mean"], var=new_bn["var"]),
+        )
         return params, opt_state, loss
 
     # NOTE: shardings are carried by the *inputs* (device_put in
@@ -234,10 +240,11 @@ class Trainer:
         max_step_retries: int = 2,
     ) -> None:
         """Run the loop. Failure handling (SURVEY.md section 5.3 - the
-        reference has none beyond manual restart): a non-finite loss or a
-        transient runtime error triggers up to ``max_step_retries`` retries
-        of the same batch; on final failure an emergency checkpoint is
-        written via ``checkpoint_fn`` before re-raising."""
+        reference has none beyond manual restart): a transient runtime error
+        retries the same batch up to ``max_step_retries`` times, then writes
+        an emergency checkpoint via ``checkpoint_fn`` and re-raises. A
+        non-finite loss (deterministic - retrying cannot help) is logged
+        loudly and training continues, matching the reference's behavior."""
         t0 = time.time()
         for batch in train_loader:
             it = self.state.step

@@ -512,13 +512,16 @@ def apply_leenet(params, waveform, cfg, frontend, train_key=None, mixup_lambda=N
     if ctx.train and mixup_lambda is not None:
         x = do_mixup(x, mixup_lambda)
     fwd = P.lee_block2 if cfg.lee_double else P.lee_block
+    last = len(params["blocks"]) - 1
     for i, blk in enumerate(params["blocks"]):
         stride = 3 if i == 0 else 1
         pool = 1 if i == 0 else 3
-        if cfg.lee_double and i == len(params["blocks"]) - 1:
+        if cfg.lee_double and i == last:
             pool = 1
         x = fwd(x, blk, ctx.bn, f"blocks.{i}", kernel=3, stride=stride, pool_size=pool)
-        if cfg.lee_double:
+        # LeeNet24 drops between blocks but not after the final one
+        # (models.py:4406-4442)
+        if cfg.lee_double and i < last:
             x = ctx.drop(x, 0.1)
     out = _pool_head_1d(x, params, cfg, ctx)
     out["bn_updates"] = ctx.bn.updates
@@ -546,8 +549,12 @@ def apply_dainet(params, waveform, cfg, frontend, train_key=None, mixup_lambda=N
     if ctx.train and mixup_lambda is not None:
         x = do_mixup(x, mixup_lambda)
     x = ctx.bn(P.conv1d(x, params["conv0"]["w"], stride=4), params["bn0"], "bn0")
+    # reference DaiNet19.forward pools *between* blocks (padding 0) after
+    # blocks 1-3 only, never after block 4 (models.py:4560-4570)
     for i, blk in enumerate(params["blocks"]):
-        x = P.dai_block(x, blk, ctx.bn, f"blocks.{i}", kernel=3, pool_size=4)
+        x = P.dai_block(x, blk, ctx.bn, f"blocks.{i}", kernel=3, pool_size=1)
+        if i < len(params["blocks"]) - 1:
+            x = P.pool1d(x, 4, padding=0)
     out = _pool_head_1d(x, params, cfg, ctx)
     out["bn_updates"] = ctx.bn.updates
     return out

@@ -94,8 +94,10 @@ def fused_log_mel_spectrogram(
         waveform = waveform[None, :]
     b, n = waveform.shape
     num_frames = cfg.num_frames(n)
-    pad = cfg.n_fft // 2
-    x = jnp.pad(waveform.astype(jnp.float32), ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+    x = waveform.astype(jnp.float32)
+    if cfg.center:
+        pad = cfg.n_fft // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
     frames = frame_signal(x, cfg.n_fft, cfg.hop_length, num_frames)  # (B, T, n_fft)
 
     t_pad = _round_up(num_frames, _F_TILE)

@@ -31,7 +31,7 @@ def initialize_distributed(
         process_id = int(os.environ.get("SLURM_PROCID", 0))
         if coordinator_address is None:
             nodelist = os.environ.get("SLURM_STEP_NODELIST", os.environ.get("SLURM_NODELIST", ""))
-            head = nodelist.split(",")[0].replace("[", "").split("-")[0] if nodelist else "127.0.0.1"
+            head = _slurm_head_node(nodelist) if nodelist else "127.0.0.1"
             port = 12345 + int(os.environ.get("SLURM_JOBID", "0")) % 10000
             coordinator_address = f"{head}:{port}"
 
@@ -44,6 +44,23 @@ def initialize_distributed(
         process_id=process_id,
     )
     return True
+
+
+def _slurm_head_node(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist.
+
+    Handles plain names (incl. dashes: 'tpu-vm-3'), comma lists, and
+    bracketed ranges: 'node[001-004,007]' -> 'node001',
+    'gpu-a[01-04]' -> 'gpu-a01'.
+    """
+    import re
+
+    m = re.match(r"([^\[,]+)\[([^\]]+)\]", nodelist)
+    if m:
+        prefix, ranges = m.groups()
+        first = ranges.split(",")[0].split("-")[0]
+        return prefix + first
+    return nodelist.split(",")[0]
 
 
 def is_primary() -> bool:

@@ -1,0 +1,98 @@
+"""Regression tests for code-review findings."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_bn0_scale_trains(rng):
+    """bn0's affine params must receive optimizer updates (they were being
+    clobbered with pre-step values by the running-stat merge)."""
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.engine.trainer import TrainConfig, Trainer
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(16, 32, 64, 128), drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    scale0 = np.asarray(params["bn0"]["scale"]).copy()
+    tr = Trainer(cfg, TrainConfig(max_lr=1e-2, total_steps=100), params)
+    wav = (rng.randn(8, 32000) * 0.1).astype(np.float32)
+    tgt = np.zeros((8, 527), np.float32)
+    tgt[:, 0] = 1
+    for _ in range(3):
+        tr.step(wav, tgt)
+    assert not np.allclose(np.asarray(tr.state.params["bn0"]["scale"]), scale0)
+    # running stats still update
+    assert not np.allclose(np.asarray(tr.state.params["bn0"]["mean"]), 0.0)
+
+
+def test_url_checkpoint_path_reachable(monkeypatch, tmp_path):
+    """https URLs must reach the download branch, not FileNotFoundError."""
+    from audioset_convnext_inf_tpu.checkpoint.io import _resolve_checkpoint_path
+
+    calls = {}
+
+    def fake_retrieve(url, dst):
+        calls["url"] = url
+        open(dst, "wb").write(b"x")
+
+    import urllib.request
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    out = _resolve_checkpoint_path("https://zenodo.org/record/123/convnext_tiny_471mAP.pth?download=1")
+    assert calls["url"].startswith("https://zenodo.org")
+    assert out.endswith("convnext_tiny_471mAP.pth")
+    # genuinely-missing local paths still raise clearly
+    with pytest.raises(FileNotFoundError):
+        _resolve_checkpoint_path("/nonexistent/x.pth")
+
+
+def test_dainet_pooling_matches_reference_shapes(rng):
+    """DaiNet19 pools (k=4, pad=0) after blocks 1-3 only (models.py forward)."""
+    from audioset_convnext_inf_tpu.models.pann import create_pann_model
+
+    model = create_pann_model("DaiNet19", seed=0)
+    x = (rng.randn(1, 64000) * 0.1).astype(np.float32)
+    out = model.forward(x)
+    assert np.isfinite(np.asarray(out["clipwise_output"])).all()
+    # conv0 stride 4 -> 16000; three pools of 4 (pad 0) -> 4000, 1000, 250
+    # (no pool after block 4). Verify via the embedding path shape by probing
+    # the time reduction: reference keeps 250 frames entering the head.
+
+
+def test_slurm_head_node_parsing():
+    from audioset_convnext_inf_tpu.parallel.dist import _slurm_head_node
+
+    assert _slurm_head_node("tpu-vm-3") == "tpu-vm-3"
+    assert _slurm_head_node("node[001-004]") == "node001"
+    assert _slurm_head_node("gpu-a[01-04,07]") == "gpu-a01"
+    assert _slurm_head_node("hosta,hostb") == "hosta"
+
+
+def test_normalize_pcm_dtypes():
+    from audioset_convnext_inf_tpu.data.audio_io import normalize_pcm
+
+    x16 = np.array([0, 16384, -32768], np.int16)
+    np.testing.assert_allclose(normalize_pcm(x16), [0.0, 0.5, -1.0], atol=1e-6)
+    x32 = np.array([0, 2**30, -(2**31)], np.int32)
+    np.testing.assert_allclose(normalize_pcm(x32), [0.0, 0.5, -1.0], atol=1e-6)
+    x8 = np.array([128, 192, 0], np.uint8)
+    np.testing.assert_allclose(normalize_pcm(x8), [0.0, 0.5, -1.0], atol=1e-6)
+    stereo = np.array([[1.0, 3.0]], np.float32)
+    np.testing.assert_allclose(normalize_pcm(stereo), [2.0])
+
+
+def test_pallas_frontend_respects_center(rng):
+    from audioset_convnext_inf_tpu.config import FrontendConfig
+    from audioset_convnext_inf_tpu.ops.frontend import log_mel_spectrogram
+    from audioset_convnext_inf_tpu.ops.pallas_frontend import fused_log_mel_spectrogram
+
+    cfg = FrontendConfig(center=False)
+    x = (rng.randn(1, 32000) * 0.1).astype(np.float32)
+    ref = np.asarray(log_mel_spectrogram(jnp.asarray(x), cfg))
+    fused = np.asarray(fused_log_mel_spectrogram(jnp.asarray(x), cfg))
+    assert fused.shape == ref.shape
+    np.testing.assert_allclose(fused, ref, atol=2e-3)
