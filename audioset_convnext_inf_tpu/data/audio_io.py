@@ -41,6 +41,14 @@ def pad_or_truncate(x: np.ndarray, audio_length: int) -> np.ndarray:
     return x[:audio_length]
 
 
+def pad_audio(x: np.ndarray, audio_length: int) -> np.ndarray:
+    """Zero-pad to at least ``audio_length`` without truncating
+    (utilities.py:238-243)."""
+    if len(x) <= audio_length:
+        return np.concatenate((x, np.zeros(audio_length - len(x), dtype=x.dtype)))
+    return x
+
+
 def decimate_resample(waveform: np.ndarray, sample_rate: int) -> np.ndarray:
     """Stride-decimation 32k -> {32k,16k,8k} (data_generator.py:107-123)."""
     if sample_rate == 32000:

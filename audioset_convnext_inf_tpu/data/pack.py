@@ -100,6 +100,61 @@ def pack_waveforms_to_hdf5(
     return waveforms_hdf5_path
 
 
+def download_wavs(
+    csv_path: str,
+    audios_dir: str,
+    clip_seconds: float = 10.0,
+    mini_data: int = 0,
+    downloader: str = "yt-dlp",
+    ffmpeg: str = "ffmpeg",
+    dry_run: bool = False,
+) -> List[str]:
+    """Download AudioSet clips listed in a segments CSV (dataset.py:63-143).
+
+    Builds per-clip yt-dlp + ffmpeg command pairs (full-audio fetch, then a
+    trim to [start, start+clip_seconds] at 32 kHz mono). With
+    ``dry_run=True`` (or when the binaries are missing) the commands are
+    returned without executing - this environment has no network egress, so
+    command construction is the testable surface.
+    """
+    import shutil
+    import subprocess
+
+    os.makedirs(audios_dir, exist_ok=True)
+    with open(csv_path, "r") as fr:
+        lines = fr.readlines()[3:]
+    if mini_data:
+        lines = lines[:mini_data]
+
+    have_tools = shutil.which(downloader) and shutil.which(ffmpeg)
+    commands: List[str] = []
+    for line in lines:
+        items = line.split(", ")
+        ytid, start = items[0], float(items[1])
+        out_name = "{}_{}_{}".format(
+            ytid, items[1].replace(".", ""), items[2].replace(".", "")
+        ).replace("_0000_", "_0_")
+        raw = os.path.join(audios_dir, f"_{ytid}.raw_audio")
+        final = os.path.join(audios_dir, out_name + ".wav")
+        dl = f'{downloader} -x -o "{raw}.%(ext)s" "https://www.youtube.com/watch?v={ytid}"'
+        trim = (
+            f'{ffmpeg} -y -i "{raw}".* -ac 1 -ar 32000 -ss {start} '
+            f'-t {clip_seconds} "{final}"'
+        )
+        commands.extend([dl, trim])
+        if not dry_run and have_tools and not os.path.exists(final):
+            subprocess.run(dl, shell=True, check=False)
+            subprocess.run(trim, shell=True, check=False)
+    if not have_tools and not dry_run:
+        import logging
+
+        logging.warning(
+            "yt-dlp/ffmpeg not found; returning %d commands without executing",
+            len(commands),
+        )
+    return commands
+
+
 def create_indexes(waveforms_hdf5_path: str, indexes_hdf5_path: str) -> str:
     """Build the index HDF5 the samplers consume from a packed-waveform file."""
     with h5py.File(waveforms_hdf5_path, "r") as hr:

@@ -35,6 +35,22 @@ def default_csv_path() -> str:
     return os.path.join(here, "metadata", "class_labels_indices.csv")
 
 
+def read_audioset_ontology(ontology_json_path: str, id_to_ix: Dict[str, int] | None = None) -> List[str]:
+    """Class descriptions from the AudioSet ontology JSON, in label order of
+    appearance (utilities.py:127-150)."""
+    import json
+
+    if id_to_ix is None:
+        id_to_ix = read_audioset_label_tags().id_to_ix
+    with open(ontology_json_path, "r") as f:
+        data = json.load(f)
+    sentences = []
+    for el in data:
+        if el["id"] in id_to_ix:
+            sentences.append(el["description"])
+    return sentences
+
+
 @lru_cache(maxsize=8)
 def read_audioset_label_tags(csv_path: str | None = None) -> LabelMaps:
     """Read labels + mids from the AudioSet class CSV (header then 527 rows)."""
