@@ -141,15 +141,31 @@ def _block_apply(
     dim = x.shape[-1]
     shortcut = x
     x = L.conv2d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=(3, 3), feature_group_count=dim)
-    if block_impl == "pallas" and key is None:
-        from audioset_convnext_inf_tpu.ops.pallas_block import fused_ln_mlp_residual
+    if block_impl == "pallas" and (key is None or drop_prob == 0.0):
+        # inference, or drop_path-free training (the custom-VJP wrapper gives
+        # the fused forward; DropPath-enabled blocks need the XLA path)
+        from audioset_convnext_inf_tpu.ops.pallas_block import (
+            fused_ln_mlp_residual,
+            fused_ln_mlp_residual_trainable,
+        )
 
-        return fused_ln_mlp_residual(
+        gamma = p.get("gamma")
+        if key is None:
+            return fused_ln_mlp_residual(
+                x, shortcut,
+                p["norm"]["scale"], p["norm"]["bias"],
+                p["pwconv1"]["w"], p["pwconv1"]["b"],
+                p["pwconv2"]["w"], p["pwconv2"]["b"],
+                gamma, eps=eps,
+            )
+        if gamma is None:
+            gamma = jnp.ones((dim,), jnp.float32)
+        return fused_ln_mlp_residual_trainable(
             x, shortcut,
             p["norm"]["scale"], p["norm"]["bias"],
             p["pwconv1"]["w"], p["pwconv1"]["b"],
             p["pwconv2"]["w"], p["pwconv2"]["b"],
-            p.get("gamma"), eps=eps,
+            gamma, eps,
         )
     x = L.layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps)
     x = L.linear(x, p["pwconv1"]["w"], p["pwconv1"]["b"])

@@ -130,3 +130,56 @@ def fused_ln_mlp_residual(
         jnp.asarray(g, jnp.float32)[None, :],
     )
     return out[:tokens].reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper: Pallas forward, XLA-math backward
+# ---------------------------------------------------------------------------
+
+
+def _tail_reference_math(x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma, eps):
+    """Same math as the kernel (incl. tanh GELU) in plain XLA - used to
+    derive the backward pass via jax.vjp."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean_sq = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    var = jnp.maximum(mean_sq - mean * mean, 0.0)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xn = (xn * ln_scale + ln_bias).astype(x.dtype)
+    h = jnp.einsum("...c,cd->...d", xn, w1.astype(x.dtype),
+                   preferred_element_type=jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=True).astype(x.dtype)
+    y = jnp.einsum("...d,dc->...c", h, w2.astype(x.dtype),
+                   preferred_element_type=jnp.float32) + b2
+    y = y * gamma
+    return (residual.astype(jnp.float32) + y).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def fused_ln_mlp_residual_trainable(x, residual, ln_scale, ln_bias, w1, b1, w2,
+                                    b2, gamma, eps=1e-6):
+    """Differentiable fused tail: Pallas kernel forward, XLA backward.
+
+    The backward recomputes the (cheap relative to backward) forward in XLA
+    via jax.vjp of the identical tanh-GELU math, so training gets the fused
+    forward without a hand-written backward kernel. ``gamma`` must be a
+    concrete array here (pass ones for gamma-less blocks).
+    """
+    return fused_ln_mlp_residual(x, residual, ln_scale, ln_bias, w1, b1, w2,
+                                 b2, gamma, eps=eps)
+
+
+def _tail_fwd(x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma, eps):
+    out = fused_ln_mlp_residual(x, residual, ln_scale, ln_bias, w1, b1, w2,
+                                b2, gamma, eps=eps)
+    return out, (x, residual, ln_scale, ln_bias, w1, b1, w2, b2, gamma)
+
+
+def _tail_bwd(eps, saved, g):
+    _, vjp = jax.vjp(
+        lambda *a: _tail_reference_math(*a, eps), *saved
+    )
+    return vjp(g)
+
+
+fused_ln_mlp_residual_trainable.defvjp(_tail_fwd, _tail_bwd)
