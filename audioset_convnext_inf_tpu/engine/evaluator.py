@@ -59,20 +59,42 @@ class Evaluator:
             self.params = jax.device_put(self.params, replicate(self.mesh))
 
     def infer_probs(self, loader: Iterable) -> Dict[str, np.ndarray]:
-        """Forward every batch; returns {'clipwise_output', 'target'} (N, C)."""
+        """Forward every batch; returns {'clipwise_output', 'target'} (N, C).
+
+        Pipelined: device results are fetched one batch behind submission,
+        so host IO (HDF5 reads, device_put) overlaps device compute instead
+        of the reference's strict H2D -> forward -> D2H ping-pong
+        (pytorch_utils.py:88-127). Waveform batches are the default;
+        batches carrying 'fbank' (the Kaldi use_torchaudio mode) are fed as
+        spectrogram images.
+        """
+        import collections
+
         probs_chunks, target_chunks = [], []
+        in_flight: "collections.deque" = collections.deque()
         n_dev = self.mesh.size
+
+        def drain_one():
+            dev_out, n = in_flight.popleft()
+            probs_chunks.append(np.asarray(dev_out)[:n])
+
         for batch in loader:
-            wav = batch["waveform"].astype(np.float32)
-            n = batch.get("valid", wav.shape[0])
-            pad = (-wav.shape[0]) % n_dev
+            if "fbank" in batch:
+                x = np.asarray(batch["fbank"], np.float32)[..., None]  # (B,T,M,1)
+            else:
+                x = batch["waveform"].astype(np.float32)
+            n = batch.get("valid", x.shape[0])
+            pad = (-x.shape[0]) % n_dev
             if pad:
-                wav = np.pad(wav, ((0, pad), (0, 0)))
-            wav_dev = jax.device_put(wav, self._sharding)
-            probs = np.asarray(self._forward(self.params, wav_dev))[:n]
-            probs_chunks.append(probs)
+                x = np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
+            x_dev = jax.device_put(x, self._sharding)
+            in_flight.append((self._forward(self.params, x_dev), n))
             if "target" in batch:
                 target_chunks.append(np.asarray(batch["target"])[:n])
+            if len(in_flight) >= 2:  # double buffering
+                drain_one()
+        while in_flight:
+            drain_one()
         out = {"clipwise_output": np.concatenate(probs_chunks)}
         if target_chunks:
             out["target"] = np.concatenate(target_chunks)

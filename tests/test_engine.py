@@ -96,6 +96,20 @@ def test_evaluator_batch_invariance(synth):
     np.testing.assert_allclose(p1, p2, atol=2e-5)
 
 
+def test_evaluator_fbank_mode(synth):
+    """Kaldi-fbank batches (use_torchaudio analog) evaluate end-to-end."""
+    _, index = synth
+    cfg = _tiny_cfg()
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    ev = Evaluator(params, cfg)
+    loader = DataLoader(AudioSetDataset(use_kaldi_fbank=True),
+                        EvaluateSampler(index, batch_size=8),
+                        num_workers=2, pad_to_batch_size=8)
+    out = ev.infer_probs(loader)
+    assert out["clipwise_output"].shape == (24, 527)
+    assert np.isfinite(out["clipwise_output"]).all()
+
+
 def test_sliding_windows():
     x = np.arange(250.0, dtype=np.float32)
     w, n = sliding_windows(x, window_samples=100, hop_samples=50)
