@@ -27,13 +27,20 @@ from audioset_convnext_inf_tpu.data.audio_io import decimate_resample, int16_to_
 
 class AudioSetDataset:
     def __init__(self, sample_rate: int = 32000, training: bool = False,
-                 use_kaldi_fbank: bool = False):
+                 use_kaldi_fbank: bool = False, keep_int16: bool = False):
         """``use_kaldi_fbank`` is the analog of the reference's
         use_torchaudio mode (data_generator.py:75-97): items carry a
-        host-computed (T, 224) Kaldi fbank instead of the raw waveform."""
+        host-computed (T, 224) Kaldi fbank instead of the raw waveform.
+
+        ``keep_int16`` ships the packed int16 samples unscaled; the device
+        decodes (x/32767) inside the jitted forward - halves host->device
+        bandwidth on the eval hot path. Only valid at the native 32 kHz
+        (the decimation path decodes anyway).
+        """
         self.sample_rate = sample_rate
         self.training = training
         self.use_kaldi_fbank = use_kaldi_fbank
+        self.keep_int16 = keep_int16 and sample_rate == 32000
         self._local = threading.local()
 
     def _file(self, path: str) -> h5py.File:
@@ -50,8 +57,11 @@ class AudioSetDataset:
         hf = self._file(meta["hdf5_path"])
         idx = meta["index_in_hdf5"]
         audio_name = hf["audio_name"][idx].decode()
-        waveform = int16_to_float32(hf["waveform"][idx])
-        waveform = decimate_resample(waveform, self.sample_rate)
+        if self.keep_int16:
+            waveform = hf["waveform"][idx]  # raw int16, device decodes
+        else:
+            waveform = int16_to_float32(hf["waveform"][idx])
+            waveform = decimate_resample(waveform, self.sample_rate)
         target = hf["target"][idx].astype(np.float32)
         if self.use_kaldi_fbank:
             from audioset_convnext_inf_tpu.ops.kaldi_fbank import kaldi_fbank

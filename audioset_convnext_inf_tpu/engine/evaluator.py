@@ -46,6 +46,10 @@ class Evaluator:
         frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
 
         def _forward(params, waveform):
+            if waveform.dtype == jnp.int16:
+                # on-device decode (utilities.py:226-227 semantics): halves
+                # host->device transfer vs shipping float32
+                waveform = waveform.astype(jnp.float32) * (1.0 / 32767.0)
             out = F.forward(params, waveform, cfg, frontend=frontend, compute_dtype=compute_dtype)
             return out["clipwise_output"]
 
@@ -82,7 +86,9 @@ class Evaluator:
             if "fbank" in batch:
                 x = np.asarray(batch["fbank"], np.float32)[..., None]  # (B,T,M,1)
             else:
-                x = batch["waveform"].astype(np.float32)
+                x = batch["waveform"]
+                if x.dtype != np.int16:  # int16 decodes on-device
+                    x = x.astype(np.float32)
             n = batch.get("valid", x.shape[0])
             pad = (-x.shape[0]) % n_dev
             if pad:

@@ -62,6 +62,25 @@ def test_service_error_propagates_and_keeps_serving():
         assert out["clipwise_output"].shape == (527,)
 
 
+def test_service_under_concurrent_load():
+    """200 concurrent submissions from 8 threads: all resolve, batching
+    keeps device calls well below request count."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    model = _CountingModel()
+    with InferenceService(model, batch_size=16, max_wait_ms=20, clip_samples=64) as svc:
+        def one(i):
+            return svc.tag(np.full(64, (i % 50) / 100, np.float32), timeout=30)
+
+        with ThreadPoolExecutor(8) as pool:
+            results = list(pool.map(one, range(200)))
+    assert len(results) == 200
+    for i, r in enumerate(results):
+        np.testing.assert_allclose(r["clipwise_output"][0], (i % 50) / 100, atol=1e-6)
+    assert svc.stats["requests"] == 200
+    assert svc.stats["batches"] < 100  # real coalescing happened
+
+
 def test_http_server_end_to_end(tmp_path):
     """Spin the real HTTP CLI on a free port against a tiny model and hit
     /healthz + /tag + /embed with urllib."""
