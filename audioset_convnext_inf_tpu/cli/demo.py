@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     parser.add_argument("--window-hop-seconds", type=float, default=10.0)
     args = parser.parse_args(argv)
 
+    from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from audioset_convnext_inf_tpu.engine.infer import load_clip, tag_clip, tag_long_audio
     from audioset_convnext_inf_tpu.models import ConvNeXt, convnext_tiny
 

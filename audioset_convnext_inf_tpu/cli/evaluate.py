@@ -25,6 +25,9 @@ def main(argv=None) -> int:
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     args = parser.parse_args(argv)
 
+    from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from audioset_convnext_inf_tpu.data import AudioSetDataset, DataLoader, EvaluateSampler

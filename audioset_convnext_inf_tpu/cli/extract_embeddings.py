@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     parser.add_argument("--kind", default="logits", choices=["logits", "scene"])
     args = parser.parse_args(argv)
 
+    from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from audioset_convnext_inf_tpu.engine.infer import extract_embeddings_to_hdf5
     from audioset_convnext_inf_tpu.models import ConvNeXt, convnext_tiny
 

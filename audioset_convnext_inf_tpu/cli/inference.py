@@ -56,6 +56,9 @@ def main(argv=None) -> int:
         p.add_argument("--out-csv", default=None)
     args = parser.parse_args(argv)
 
+    from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from audioset_convnext_inf_tpu.data.audio_io import read_wav
     from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
 

@@ -30,6 +30,9 @@ def main(argv=None) -> int:
     parser.add_argument("--top-k", type=int, default=10)
     args = parser.parse_args(argv)
 
+    from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import numpy as np
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 

@@ -69,6 +69,9 @@ def main(argv=None) -> int:
     from audioset_convnext_inf_tpu.models import create_model
     from audioset_convnext_inf_tpu.parallel.dist import initialize_distributed, is_primary
 
+    from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from audioset_convnext_inf_tpu.utils import MetricLogger, create_logging
 
     initialize_distributed()
