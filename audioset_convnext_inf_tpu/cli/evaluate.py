@@ -23,6 +23,9 @@ def main(argv=None) -> int:
     parser.add_argument("--batch-size", type=int, default=256)
     parser.add_argument("--num-workers", type=int, default=10)
     parser.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    parser.add_argument("--keep-int16", action="store_true",
+                        help="ship packed int16 to the device and decode on-chip "
+                             "(halves H2D bandwidth; identical probabilities)")
     args = parser.parse_args(argv)
 
     from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
@@ -43,7 +46,7 @@ def main(argv=None) -> int:
 
     def run(tag: str, index_path: str) -> None:
         loader = DataLoader(
-            AudioSetDataset(),
+            AudioSetDataset(keep_int16=args.keep_int16),
             EvaluateSampler(index_path, args.batch_size),
             num_workers=args.num_workers,
             pad_to_batch_size=args.batch_size,
