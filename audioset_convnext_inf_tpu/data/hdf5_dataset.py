@@ -34,13 +34,17 @@ class AudioSetDataset:
 
         ``keep_int16`` ships the packed int16 samples unscaled; the device
         decodes (x/32767) inside the jitted forward - halves host->device
-        bandwidth on the eval hot path. Only valid at the native 32 kHz
-        (the decimation path decodes anyway).
+        bandwidth on the eval hot path. Only honored for the plain 32 kHz
+        waveform eval path: the decimation, Kaldi-fbank and training paths
+        all consume host-side float32 and would silently run on 32767x-
+        scaled samples otherwise.
         """
         self.sample_rate = sample_rate
         self.training = training
         self.use_kaldi_fbank = use_kaldi_fbank
-        self.keep_int16 = keep_int16 and sample_rate == 32000
+        self.keep_int16 = (
+            keep_int16 and sample_rate == 32000 and not use_kaldi_fbank and not training
+        )
         self._local = threading.local()
 
     def _file(self, path: str) -> h5py.File:

@@ -103,7 +103,6 @@ def pack_waveforms_to_hdf5(
 def download_wavs(
     csv_path: str,
     audios_dir: str,
-    clip_seconds: float = 10.0,
     mini_data: int = 0,
     downloader: str = "yt-dlp",
     ffmpeg: str = "ffmpeg",
@@ -111,8 +110,10 @@ def download_wavs(
 ) -> List[str]:
     """Download AudioSet clips listed in a segments CSV (dataset.py:63-143).
 
-    Builds per-clip yt-dlp + ffmpeg command pairs (full-audio fetch, then a
-    trim to [start, start+clip_seconds] at 32 kHz mono). With
+    Builds per-clip command triples: full-audio fetch, ffmpeg trim to the
+    CSV's [start, end] segment at 32 kHz mono, then removal of the raw
+    download (the reference rm's it at dataset.py:133 - keeping it would
+    need orders of magnitude more disk than the trimmed clips). With
     ``dry_run=True`` (or when the binaries are missing) the commands are
     returned without executing - this environment has no network egress, so
     command construction is the testable surface.
@@ -131,6 +132,7 @@ def download_wavs(
     for line in lines:
         items = line.split(", ")
         ytid, start = items[0], float(items[1])
+        duration = float(items[2]) - start  # reference trims end-start seconds
         out_name = "{}_{}_{}".format(
             ytid, items[1].replace(".", ""), items[2].replace(".", "")
         ).replace("_0000_", "_0_")
@@ -139,12 +141,14 @@ def download_wavs(
         dl = f'{downloader} -x -o "{raw}.%(ext)s" "https://www.youtube.com/watch?v={ytid}"'
         trim = (
             f'{ffmpeg} -y -i "{raw}".* -ac 1 -ar 32000 -ss {start} '
-            f'-t {clip_seconds} "{final}"'
+            f'-t {duration} "{final}"'
         )
-        commands.extend([dl, trim])
+        cleanup = f'rm -f "{raw}".*'
+        commands.extend([dl, trim, cleanup])
         if not dry_run and have_tools and not os.path.exists(final):
             subprocess.run(dl, shell=True, check=False)
             subprocess.run(trim, shell=True, check=False)
+            subprocess.run(cleanup, shell=True, check=False)
     if not have_tools and not dry_run:
         import logging
 

@@ -141,9 +141,10 @@ def _block_apply(
     dim = x.shape[-1]
     shortcut = x
     x = L.conv2d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=(3, 3), feature_group_count=dim)
-    if block_impl == "pallas" and (key is None or drop_prob == 0.0):
-        # inference, or drop_path-free training (the custom-VJP wrapper gives
-        # the fused forward; DropPath-enabled blocks need the XLA path)
+    if block_impl == "pallas":
+        # inference, or drop_path-free training (the caller downgrades the
+        # impl to "xla" run-wide when DropPath is active, so every block
+        # uses the same GELU flavor - never a per-block mix)
         from audioset_convnext_inf_tpu.ops.pallas_block import (
             fused_ln_mlp_residual,
             fused_ln_mlp_residual_trainable,
@@ -194,6 +195,12 @@ def forward_features(
     dp_rates = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
     if train_key is not None:
         block_keys = jax.random.split(train_key, sum(cfg.depths))
+    # run-level block impl: DropPath-enabled training must use the XLA path
+    # for EVERY block (the fused kernel has no DropPath; a per-block switch
+    # would mix tanh- and erf-GELU blocks in one model)
+    block_impl = cfg.block_impl
+    if train_key is not None and cfg.drop_path_rate > 0.0:
+        block_impl = "xla"
     cur = 0
 
     for i in range(4):
@@ -206,7 +213,7 @@ def forward_features(
             x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
         for j, block in enumerate(params["stages"][i]):
             k = block_keys[cur + j] if train_key is not None else None
-            x = _block_apply(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k, cfg.block_impl)
+            x = _block_apply(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k, block_impl)
         cur += cfg.depths[i]
 
     if return_frame_embeddings:

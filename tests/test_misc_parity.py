@@ -39,12 +39,14 @@ def test_download_wavs_builds_commands(tmp_path):
         'xyz987ghi65, 0.000, 10.000, "/m/04rlf"\n'
     )
     cmds = download_wavs(str(csv), str(tmp_path / "audio"), dry_run=True)
-    assert len(cmds) == 4  # (download, trim) per clip
+    assert len(cmds) == 6  # (download, trim, cleanup) per clip
     assert "youtube.com/watch?v=abc123def45" in cmds[0]
-    assert "-ss 30.0" in cmds[1] and "-ar 32000" in cmds[1]
-    assert "xyz987ghi65_0_10000.wav" in cmds[3]
+    # trim covers the CSV segment [start, end], not a fixed 10 s
+    assert "-ss 30.0" in cmds[1] and "-t 10.0" in cmds[1] and "-ar 32000" in cmds[1]
+    assert cmds[2].startswith("rm -f ")  # raw download removed (dataset.py:133)
+    assert "xyz987ghi65_0_10000.wav" in cmds[4]
     cmds1 = download_wavs(str(csv), str(tmp_path / "audio"), dry_run=True, mini_data=1)
-    assert len(cmds1) == 2
+    assert len(cmds1) == 3
 
 
 def test_resnet_basic_block_matches_torch(rng):
