@@ -178,6 +178,32 @@ def _block_apply(
     return shortcut + x
 
 
+def _stem_conv(x: Array, p: Params, cfg: ConvNeXtConfig) -> Array:
+    """Audio patchify stem.
+
+    When kernel == stride and the padding is a multiple of the stride (true
+    for the (252,56), (56,) and (112,) stems), the conv is exactly a
+    non-overlapping patch extraction: zero-pad, reshape into (kh, kw)
+    patches, and one (kh*kw*Cin -> C) GEMM on the MXU - XLA's conv lowering
+    wastes most of a 128-lane tile on the K=kh*kw*1 contraction otherwise.
+    Falls back to lax.conv for the overlapping stems.
+    """
+    (kh, kw), stride, pad = cfg.stem_geometry()
+    w, b_ = p["w"], p["b"]
+    if (kh, kw) == stride and pad[0] % kh == 0 and pad[1] % kw == 0:
+        b, h, wd, cin = x.shape
+        x = jnp.pad(x, ((0, 0), (pad[0], pad[0]), (pad[1], pad[1]), (0, 0)))
+        hp, wp = x.shape[1], x.shape[2]
+        # drop any remainder rows/cols exactly like a VALID strided conv
+        x = x[:, : (hp // kh) * kh, : (wp // kw) * kw, :]
+        oh, ow = x.shape[1] // kh, x.shape[2] // kw
+        patches = x.reshape(b, oh, kh, ow, kw, cin)
+        patches = jnp.transpose(patches, (0, 1, 3, 2, 4, 5)).reshape(b, oh, ow, kh * kw * cin)
+        wmat = w.reshape(kh * kw * cin, -1)  # HWIO flatten matches patch order
+        return L.linear(patches, wmat, b_)
+    return L.conv2d(x, w, b_, stride=stride, padding=pad)
+
+
 def forward_features(
     x: Array,
     params: Params,
@@ -205,7 +231,7 @@ def forward_features(
 
     for i in range(4):
         if i == 0:
-            x = L.conv2d(x, params["stem"]["conv"]["w"], params["stem"]["conv"]["b"], stride=stride, padding=pad)
+            x = _stem_conv(x, params["stem"]["conv"], cfg)
             x = L.layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], cfg.ln_eps)
         else:
             d = params["downsample"][i - 1]
