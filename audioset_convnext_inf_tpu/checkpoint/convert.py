@@ -17,8 +17,10 @@ models/convnext.py docstring):
 
 Frontend buffers (spectrogram_extractor.*, logmel_extractor.melW,
 spec_augmenter.*) are non-trainable DFT/mel constants that our frontend
-recomputes analytically - they are validated against ours when present, then
-dropped.
+recomputes analytically. ``logmel_extractor.melW`` is validated against our
+analytic mel filterbank when present (a mismatch means the checkpoint was
+trained with different STFT/mel parameters than the supplied config and
+would silently produce wrong features); the remaining buffers are dropped.
 """
 
 from __future__ import annotations
@@ -59,6 +61,8 @@ def torch_state_dict_to_params(
     numpy loading works without torch). Verifies completeness and shapes.
     """
     sd = {k: _to_numpy(v) for k, v in state_dict.items() if not k.endswith("num_batches_tracked")}
+    if "logmel_extractor.melW" in sd:
+        _validate_mel_weights(sd["logmel_extractor.melW"], cfg)
     consumed = set()
 
     def take(key: str) -> np.ndarray:
@@ -127,6 +131,33 @@ def torch_state_dict_to_params(
 
     _validate_shapes(params, cfg)
     return params
+
+
+def _validate_mel_weights(melW: np.ndarray, cfg: ConvNeXtConfig) -> None:
+    """Check the checkpoint's mel matrix against our analytic recompute.
+
+    torchlibrosa stores melW as (n_fft//2+1, n_mels) - the transpose of
+    librosa.filters.mel. A checkpoint trained with different sr/n_fft/
+    n_mels/fmin/fmax than ``cfg.frontend`` must not load silently: our
+    frontend would feed the trunk differently-scaled log-mel features.
+    """
+    from audioset_convnext_inf_tpu.ops.frontend import mel_filterbank
+
+    f = cfg.frontend
+    ours = mel_filterbank(f.sample_rate, f.n_fft, f.n_mels, f.fmin, f.fmax).T
+    if melW.shape != ours.shape:
+        raise ValueError(
+            f"checkpoint logmel_extractor.melW has shape {melW.shape}, but the "
+            f"config's frontend ({f.n_fft=}, {f.n_mels=}) implies {ours.shape}; "
+            "the checkpoint was trained with different STFT/mel parameters"
+        )
+    err = float(np.abs(melW.astype(np.float64) - ours.astype(np.float64)).max())
+    if err > 1e-4:
+        raise ValueError(
+            f"checkpoint logmel_extractor.melW deviates from the analytic mel "
+            f"filterbank for this config (max abs diff {err:.3e}); sr/fmin/fmax/"
+            "n_mels of the checkpoint do not match cfg.frontend"
+        )
 
 
 def _validate_shapes(params: Params, cfg: ConvNeXtConfig) -> None:

@@ -123,11 +123,9 @@ def main(argv=None) -> int:
 
     if args.resume_iteration:
         ck = load_checkpoint(os.path.join(ckpt_root, f"{args.resume_iteration}_iterations"))
-        trainer.state = trainer.state.__class__(
-            params=ck["params"],
-            opt_state=jax.tree_util.tree_map(jnp.asarray, ck["opt_state"]),
-            step=ck["iteration"],
-        )
+        # restore() re-applies the constructor's mesh placement so the
+        # compiled step sees identically-sharded params after resume
+        trainer.restore(ck["params"], ck["opt_state"], ck["iteration"])
         if ck.get("sampler_state") is not None:
             sampler.load_state_dict(ck["sampler_state"])
         try:
@@ -152,7 +150,7 @@ def main(argv=None) -> int:
         if evaluator is None:
             return
         ev = evaluator
-        ev.params = params
+        ev.set_params(params)
         for tag, path in (("bal", args.bal_indexes), ("test", args.eval_indexes)):
             if not path:
                 continue

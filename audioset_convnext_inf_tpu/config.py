@@ -58,11 +58,14 @@ class FrontendConfig:
         return self.n_fft // 2 + 1
 
     def num_frames(self, num_samples: int) -> int:
+        # torch.stft/torchlibrosa frame with n_fft (a win_length < n_fft
+        # window is zero-padded to n_fft), so the frame count depends on
+        # n_fft, not win_length.
         if self.center:
             padded = num_samples + 2 * (self.n_fft // 2)
         else:
             padded = num_samples
-        return (padded - self.win_length) // self.hop_length + 1
+        return (padded - self.n_fft) // self.hop_length + 1
 
 
 @dataclass(frozen=True)

@@ -64,6 +64,18 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Put with periodic stop checks; True if delivered. An abandoned
+            consumer stops draining, and an unconditional blocking put on the
+            bounded queue would leak this thread + its pool + HDF5 handles."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -74,15 +86,21 @@ class DataLoader:
                         pending.append(pool.submit(self._load_batch, batch_meta))
                         # bounded in-flight window preserves batch order
                         while len(pending) >= self.num_workers:
-                            q.put(pending.pop(0).result())
-                            if stop.is_set():
+                            if not put_or_stop(pending.pop(0).result()):
                                 return
                     for fut in pending:
-                        q.put(fut.result())
+                        if not put_or_stop(fut.result()):
+                            return
             except Exception as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(sentinel)
+                if stop.is_set():  # consumer gone; don't block on a full queue
+                    try:
+                        q.put_nowait(sentinel)
+                    except queue.Full:
+                        pass
+                else:
+                    q.put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -62,6 +62,15 @@ class Evaluator:
 
             self.params = jax.device_put(self.params, replicate(self.mesh))
 
+    def set_params(self, params: Any) -> None:
+        """Swap in fresh params with the constructor's mesh placement
+        (mid-training eval); direct assignment would bypass replication."""
+        if self.mesh.size > 1:
+            from audioset_convnext_inf_tpu.parallel.mesh import replicate
+
+            params = jax.device_put(params, replicate(self.mesh))
+        self.params = params
+
     def infer_probs(self, loader: Iterable) -> Dict[str, np.ndarray]:
         """Forward every batch; returns {'clipwise_output', 'target'} (N, C).
 

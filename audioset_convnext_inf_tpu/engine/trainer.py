@@ -218,6 +218,22 @@ class Trainer:
         self._key = jax.random.PRNGKey(train_cfg.seed)
         self._sharding = batch_sharding(self.mesh)
 
+    def restore(self, params: Params, opt_state, step: int) -> None:
+        """Adopt restored state with the constructor's device placement.
+
+        Checkpoints come back as host arrays; assigning them to
+        ``self.state`` directly would feed differently-placed params to the
+        compiled step (recompile + implicit transfers on a multi-chip mesh).
+        """
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        opt_state = jax.tree_util.tree_map(jnp.asarray, opt_state)
+        if self.mesh.size > 1:
+            from audioset_convnext_inf_tpu.parallel.mesh import replicate
+
+            params = jax.device_put(params, replicate(self.mesh))
+            opt_state = jax.device_put(opt_state, replicate(self.mesh))
+        self.state = TrainState(params=params, opt_state=opt_state, step=step)
+
     def step(self, waveform: np.ndarray, target: np.ndarray) -> float:
         wav = jax.device_put(np.asarray(waveform, np.float32), self._sharding)
         tgt = jax.device_put(np.asarray(target, np.float32), self._sharding)

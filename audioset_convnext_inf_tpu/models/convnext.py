@@ -264,12 +264,30 @@ def _frontend_and_bn0(
     """Waveform (B, N) -> augmented, normalized spectrogram image (B, T, M, 1).
 
     Replicates the shared prologue of the reference's three forward variants
-    (convnext.py:287-316): logmel frontend, bn0 over the mel axis,
-    SpecAugment (train), mixup (train).
+    (convnext.py:287-316): waveform augmentations (train: pydub gain, roll,
+    speed perturb, in the reference's order at convnext.py:288-296), logmel
+    frontend, bn0 over the mel axis, SpecAugment (train), mixup (train).
     """
     if waveform_or_spec.ndim == 1:  # unbatched waveform convenience
         waveform_or_spec = waveform_or_spec[None, :]
     if waveform_or_spec.ndim == 2:
+        if train and key is not None:
+            from audioset_convnext_inf_tpu.ops.augment import (
+                gain_augment,
+                roll_augment,
+                speed_perturb,
+            )
+
+            a = cfg.augment
+            key, gkey, rkey, skey = jax.random.split(key, 4)
+            if a.use_pydub_augment:
+                waveform_or_spec = gain_augment(gkey, waveform_or_spec, a.gain_augment_db)
+            if a.use_roll_augment:
+                waveform_or_spec = roll_augment(rkey, waveform_or_spec, a.roll_shift_range)
+            if a.use_speed_perturb:
+                waveform_or_spec = speed_perturb(
+                    skey, waveform_or_spec, a.speed_perturb_rates, a.speed_perturb_p
+                )
         if frontend is None:
             frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
         spec = frontend(waveform_or_spec)  # (B, 1, T, M)

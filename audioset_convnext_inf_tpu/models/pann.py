@@ -10,11 +10,12 @@ freq-mean + time-(max+mean) pooling -> fc1 -> 527-way sigmoid head, returning
 {'clipwise_output', 'embedding'} (+ 'framewise_output'/'segmentwise_output'
 for the SED decision-level heads, models.py:5678-5982).
 
-Not reproduced (broken or dead in the reference, SURVEY.md section 2.3):
-Cnn6Sobel* (undefined ``miniSobel``), DCLS variants (commented-out CUDA
-dependency), Deformable variants (torchvision CUDA op; planned as
-gather+matmul), and the Cnn*Next ablation hybrids (covered by the supported
-ConvNeXt family).
+The registry covers all 49 runnable reference models, including the 16
+Cnn*Next ablation hybrids and the Deformable variants (torchvision's
+``deform_conv2d`` rebuilt as gather+matmul in ``ops/deform_conv.py``). Not
+reproduced - broken or dead in the reference itself (SURVEY.md section
+2.3): Cnn6Sobel* (undefined ``miniSobel``, models.py:2885) and the DCLS
+variants (commented-out CUDA dependency).
 
 Layouts: NHWC / NWC channels-last throughout; eval-mode BN folds into
 scale/shift; train mode uses batch stats with functional running-stat

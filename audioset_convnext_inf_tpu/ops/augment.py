@@ -12,8 +12,9 @@ Behavioral equivalents of pytorch/augmentations.py:
 Static-shape discipline: TPU kernels cannot have data-dependent output
 shapes, so ``speed_perturb`` composes the variable-rate resample and the
 pad/crop into a single gather with a fixed output length - semantically the
-resample-then-pad/crop of the reference with align='left' behavior expressed
-as index arithmetic.
+reference's stretch -> Pad(align) -> Crop(align) chain (align='random' by
+default, matching SpeedPerturbation's defaults) expressed as index
+arithmetic with traced offsets.
 """
 
 from __future__ import annotations
@@ -101,25 +102,43 @@ def speed_perturb(
     x: Array,
     rates: Tuple[float, float] = (0.5, 1.5),
     p: float = 0.5,
+    align: str = "random",
 ) -> Array:
     """Speed perturbation with 'same'-length output (augmentations.py:278-329).
 
-    rate ~ U(rates). rate>1 speeds up (signal shortens -> zero-pad tail);
-    rate<1 slows down (signal lengthens -> crop). Fixed output length keeps
-    the op jittable; 'left' alignment (the stretched signal starts at 0).
+    rate ~ U(rates); the nearest-neighbor stretch yields ceil(L*rate) samples
+    (reference ``resample_nearest``: indexes = arange(0, L, 1/rate)). rate<1
+    shortens the signal -> Pad(align); rate>1 lengthens it -> Crop(align).
+    ``align='random'`` matches SpeedPerturbation's default: pad offset
+    ~ U{0..missing} inclusive (pad_align_random), crop start ~ U{0..diff-1}
+    exclusive (crop_align_random). Output index i reads stretched sample
+    j = i - pad_left + crop_start, zero outside [0, stretched_len).
     """
-    pkey, rkey = jax.random.split(key)
+    pkey, rkey, akey = jax.random.split(key, 3)
     length = x.shape[-1]
     rate = jax.random.uniform(rkey, (), minval=rates[0], maxval=rates[1])
-    stretched_len = jnp.floor(length * rate).astype(jnp.int32)  # samples available
-    idx = resample_nearest_indices(length, rate, length)
-    valid = idx < length
-    gathered = jnp.take(x, jnp.clip(idx, 0, length - 1), axis=-1)
-    # zero out positions that would come from beyond the original signal
-    pos = jnp.arange(length)
-    in_range = pos < stretched_len
-    mask = (valid & in_range).astype(x.dtype)
-    out = gathered * mask
+    stretched_len = jnp.ceil(length * rate).astype(jnp.int32)
+    missing = jnp.maximum(length - stretched_len, 0)  # pad amount (rate < 1)
+    diff = jnp.maximum(stretched_len - length, 0)  # crop amount (rate > 1)
+    if align == "left":
+        pad_left = jnp.zeros((), jnp.int32)
+        crop_start = jnp.zeros((), jnp.int32)
+    elif align == "right":
+        pad_left, crop_start = missing, diff
+    elif align == "center":
+        pad_left = missing // 2 + missing % 2
+        crop_start = diff // 2 + diff % 2
+    elif align == "random":
+        pkey_pad, pkey_crop = jax.random.split(akey)
+        pad_left = jax.random.randint(pkey_pad, (), 0, missing + 1)
+        crop_start = jax.random.randint(pkey_crop, (), 0, jnp.maximum(diff, 1))
+    else:
+        raise ValueError(f"unknown align {align!r}")
+    j = jnp.arange(length, dtype=jnp.int32) - pad_left + crop_start
+    valid = (j >= 0) & (j < stretched_len)
+    # stretched[j] = x[clip(round(j / rate), 0, L-1)]
+    src = jnp.clip(jnp.round(j.astype(jnp.float32) / rate).astype(jnp.int32), 0, length - 1)
+    out = jnp.take(x, src, axis=-1) * valid.astype(x.dtype)
     apply = jax.random.uniform(pkey, ()) <= p
     return jnp.where(apply, out, x)
 

@@ -60,18 +60,50 @@ def test_roll_augment_is_circular():
     assert not np.array_equal(out, np.asarray(x)) or True  # shift may be 0
 
 
-def test_speed_perturb_static_shape_and_zero_tail():
-    x = jnp.asarray(np.linspace(-1, 1, 1000, dtype=np.float32))
-    out = speed_perturb(jax.random.PRNGKey(5), x, rates=(1.5, 1.5), p=1.0)
-    assert out.shape == x.shape
-    arr = np.asarray(out)
-    # rate 1.5 speeds up: content ends at ~2/3 of the clip... rate>1 means
-    # the stretched signal is longer than needed, so the full window is
-    # populated by resampled content
-    assert np.isfinite(arr).all()
-    slow = np.asarray(speed_perturb(jax.random.PRNGKey(5), x, rates=(0.5, 0.5), p=1.0))
-    # rate 0.5: only half the target length is available -> zero tail
-    assert np.all(slow[500:] == 0)
+def _np_speed_perturb(x, rate, align):
+    """Numpy emulation of the reference chain resample_nearest -> Pad -> Crop
+    (augmentations.py:266-275, 196-204, 72-81) for deterministic aligns."""
+    length = x.shape[-1]
+    idx = np.arange(0, length, 1.0 / rate, dtype=np.float64)
+    stretched = x[np.clip(np.round(idx).astype(np.int64), 0, length - 1)]
+    s = stretched.shape[-1]
+    if s < length:  # Pad
+        missing = length - s
+        left = {"left": 0, "right": missing, "center": missing // 2 + missing % 2}[align]
+        stretched = np.pad(stretched, (left, missing - left))
+    if stretched.shape[-1] > length:  # Crop
+        diff = stretched.shape[-1] - length
+        start = {"left": 0, "right": diff, "center": diff // 2 + diff % 2}[align]
+        stretched = stretched[start : start + length]
+    return stretched
+
+
+@pytest.mark.parametrize("align", ["left", "right", "center"])
+@pytest.mark.parametrize("rate", [0.5, 0.73, 1.0, 1.31, 1.5])
+def test_speed_perturb_matches_reference_chain(align, rate):
+    x = jnp.asarray(np.linspace(1.0, 2.0, 1000, dtype=np.float32))
+    out = np.asarray(
+        speed_perturb(jax.random.PRNGKey(5), x, rates=(rate, rate), p=1.0, align=align)
+    )
+    np.testing.assert_array_equal(out, _np_speed_perturb(np.asarray(x), rate, align))
+
+
+def test_speed_perturb_random_align_distribution():
+    x = jnp.asarray(np.linspace(1.0, 2.0, 1000, dtype=np.float32))  # strictly > 0
+    starts = []
+    for seed in range(20):
+        out = np.asarray(
+            speed_perturb(jax.random.PRNGKey(seed), x, rates=(0.5, 0.5), p=1.0)
+        )
+        assert out.shape == x.shape
+        nz = np.nonzero(out)[0]
+        assert len(nz) == 500  # ceil(1000*0.5) stretched samples survive
+        assert nz[-1] - nz[0] == 499  # contiguous placement
+        starts.append(nz[0])
+    assert len(set(starts)) > 3  # offsets actually vary (align='random')
+    # rate > 1: random crop keeps the full window populated
+    fast = np.asarray(speed_perturb(jax.random.PRNGKey(7), x, rates=(1.5, 1.5), p=1.0))
+    assert np.count_nonzero(fast) == 1000
     # p=0 never applies
     same = speed_perturb(jax.random.PRNGKey(5), x, rates=(0.5, 0.5), p=0.0)
     np.testing.assert_array_equal(np.asarray(same), np.asarray(x))

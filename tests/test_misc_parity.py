@@ -101,3 +101,31 @@ def test_resnet_basic_block_matches_torch(rng):
     bnctx = P.BnCtx(train=False)
     out = P.resnet_basic_block(jnp.asarray(x), params, bnctx, "blk", stride=2, drop_key=None)
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_full_samples_per_class_table():
+    from audioset_convnext_inf_tpu.labels import full_samples_per_class
+
+    t = full_samples_per_class()
+    assert t.shape == (527,)
+    # spot values from reference utils/config.py:35
+    assert t[0] == 937432 and t[1] == 16344 and t[526] == 289
+    assert int(t.sum()) == 3826593
+
+
+def test_converter_validates_mel_weights():
+    import pytest as _pytest
+
+    from audioset_convnext_inf_tpu.checkpoint.convert import _validate_mel_weights
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.ops.frontend import mel_filterbank
+
+    cfg = ConvNeXtConfig()
+    f = cfg.frontend
+    good = mel_filterbank(f.sample_rate, f.n_fft, f.n_mels, f.fmin, f.fmax).T
+    _validate_mel_weights(good, cfg)  # matching matrix passes
+    with _pytest.raises(ValueError, match="different STFT/mel"):
+        _validate_mel_weights(np.zeros((10, 10), np.float32), cfg)  # shape
+    bad = mel_filterbank(f.sample_rate, f.n_fft, f.n_mels, 0.0, 8000.0).T
+    with _pytest.raises(ValueError, match="deviates"):
+        _validate_mel_weights(bad, cfg)  # different fmin/fmax
