@@ -9,12 +9,16 @@ Columnar caption/audio dataset with the reference's access surface:
  - audio layout ``<root>/AUDIOCAPS_32000Hz/audio/<subset>/``
 
 The reference bundles a youtube-dl + ffmpeg download pipeline
-(audiocaps.py:510-778); this environment has no network egress, so
-``download=True`` raises with guidance instead. Metadata CSVs
-(``<subset>.csv`` with audiocap_id, youtube_id, start_time, caption) follow
-the official AudioCaps release; tags come from an optional
-``<subset>_tags.csv`` (youtube_id -> AudioSet mids) mapped through
-class_labels_indices.csv.
+(audiocaps.py:510-778); it is rebuilt here as
+:func:`prepare_audiocaps_subset` / :func:`download_and_extract_from_youtube`
+with the command construction factored into pure, offline-testable builders
+(:func:`youtube_url_command`, :func:`ffmpeg_extract_command`) and injectable
+runners - in this no-egress environment the commands cannot execute, but
+their exact shape is unit-tested the same way ``data/pack.py``'s
+``download_wavs`` is. Metadata CSVs (``<subset>.csv`` with audiocap_id,
+youtube_id, start_time, caption) follow the official AudioCaps release; tags
+come from an optional ``<subset>_tags.csv`` (youtube_id -> AudioSet mids)
+mapped through class_labels_indices.csv.
 """
 
 from __future__ import annotations
@@ -28,6 +32,162 @@ import numpy as np
 
 from audioset_convnext_inf_tpu.data.audio_io import read_wav
 from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
+
+
+# Official metadata locations (reference audiocaps.py:741-778).
+AUDIOCAPS_LINKS = {
+    subset: {
+        "captions": {
+            "url": f"https://raw.githubusercontent.com/cdjkim/audiocaps/master/dataset/{subset}.csv",
+            "fname": f"{subset}.csv",
+        }
+    }
+    for subset in ("train", "val", "test")
+}
+AUDIOSET_LINKS = {
+    key: {
+        "fname": f"{fname}.csv",
+        "url": f"http://storage.googleapis.com/us_audioset/youtube_corpus/v1/csv/{fname}.csv",
+    }
+    for key, fname in (
+        ("class_labels_indices", "class_labels_indices"),
+        ("eval", "eval_segments"),
+        ("balanced", "balanced_train_segments"),
+        ("unbalanced", "unbalanced_train_segments"),
+    )
+}
+
+
+def youtube_url_command(youtube_id: str, youtube_dl_path: str = "youtube-dl") -> List[str]:
+    """youtube-dl invocation that resolves a clip's (video, audio) stream
+    URLs (reference audiocaps.py:688-694)."""
+    return [
+        youtube_dl_path,
+        "--youtube-skip-dash-manifest",
+        "-g",
+        f"https://www.youtube.com/watch?v={youtube_id}",
+    ]
+
+
+def ffmpeg_extract_command(
+    audio_link: str,
+    fpath_out: str,
+    start_time: int,
+    duration: float = 10.00096876,  # reference AUDIO_MAX_SEC (audiocaps.py:82)
+    sr: int = 32000,
+    n_channels: int = 1,
+    target_format: str = "flac",
+    acodec: str = "flac",
+    ffmpeg_path: str = "ffmpeg",
+) -> List[str]:
+    """ffmpeg invocation that trims/transcodes the stream to a 10-s mono
+    flac at ``sr`` (reference audiocaps.py:706-732, argument for argument)."""
+    return [
+        ffmpeg_path,
+        "-i", audio_link,
+        "-vn",
+        "-f", target_format,
+        "-acodec", acodec,
+        "-ss", str(start_time),
+        "-t", str(duration),
+        "-ar", str(sr),
+        "-ac", str(n_channels),
+        fpath_out,
+    ]
+
+
+def download_and_extract_from_youtube(
+    youtube_id: str,
+    fpath_out: str,
+    start_time: int,
+    duration: float = 10.00096876,
+    sr: int = 32000,
+    n_channels: int = 1,
+    target_format: str = "flac",
+    acodec: str = "flac",
+    youtube_dl_path: str = "youtube-dl",
+    ffmpeg_path: str = "ffmpeg",
+    run_output: Optional[Callable[[List[str]], bytes]] = None,
+    run_call: Optional[Callable[[List[str]], int]] = None,
+) -> bool:
+    """Resolve stream URLs then trim-download one clip; True on success
+    (reference _download_and_extract_from_youtube, audiocaps.py:673-738).
+    ``run_output``/``run_call`` default to subprocess and are injectable for
+    offline testing."""
+    import subprocess
+
+    run_output = run_output or subprocess.check_output
+    run_call = run_call or subprocess.check_call
+    try:
+        output = run_output(youtube_url_command(youtube_id, youtube_dl_path))
+    except Exception:
+        return False
+    lines = output.decode().split("\n")
+    if len(lines) < 2:
+        return False
+    _video_link, audio_link = lines[:2]
+    cmd = ffmpeg_extract_command(
+        audio_link, fpath_out, start_time, duration, sr, n_channels,
+        target_format, acodec, ffmpeg_path,
+    )
+    try:
+        return run_call(cmd) == 0
+    except Exception:
+        return False
+
+
+def prepare_audiocaps_subset(
+    root: str,
+    subset: str,
+    sample_rate: int = 32000,
+    youtube_dl_path: str = "youtube-dl",
+    ffmpeg_path: str = "ffmpeg",
+    run_output: Optional[Callable[[List[str]], bytes]] = None,
+    run_call: Optional[Callable[[List[str]], int]] = None,
+    verbose: int = 0,
+) -> Dict[str, int]:
+    """Build ``<root>/AUDIOCAPS_<sr>Hz/audio/<subset>/`` from the official
+    captions CSV (reference __prepare_data, audiocaps.py:510-671).
+
+    The captions CSV must already sit at
+    ``<root>/AUDIOCAPS_<sr>Hz/<subset>.csv`` (no egress here; the reference
+    fetches it from AUDIOCAPS_LINKS). Existing files are skipped. Returns
+    ``{"ok": n, "err": n, "skipped": n}``.
+    """
+    if subset not in AUDIOCAPS_LINKS:
+        raise ValueError(f"unknown subset {subset!r}")
+    dpath_data = osp.join(root, f"AUDIOCAPS_{sample_rate}Hz")
+    captions_fpath = osp.join(dpath_data, AUDIOCAPS_LINKS[subset]["captions"]["fname"])
+    if not osp.isfile(captions_fpath):
+        raise FileNotFoundError(
+            f"captions CSV not found at {captions_fpath}; download it from "
+            f"{AUDIOCAPS_LINKS[subset]['captions']['url']}"
+        )
+    dpath_audio = osp.join(dpath_data, "audio", subset)
+    os.makedirs(dpath_audio, exist_ok=True)
+
+    counts = {"ok": 0, "err": 0, "skipped": 0}
+    with open(captions_fpath) as f:
+        for line in csv.DictReader(f):
+            youtube_id, start_time = line["youtube_id"], line["start_time"]
+            if not start_time.isdigit():
+                raise RuntimeError(
+                    f"start time {start_time!r} is not an integer "
+                    f"(audiocap_id={line.get('audiocap_id')}, youtube_id={youtube_id})"
+                )
+            fpath = osp.join(dpath_audio, f"{youtube_id}_{start_time}.flac")
+            if osp.isfile(fpath):
+                counts["skipped"] += 1
+                continue
+            ok = download_and_extract_from_youtube(
+                youtube_id, fpath, int(start_time), sr=sample_rate,
+                youtube_dl_path=youtube_dl_path, ffmpeg_path=ffmpeg_path,
+                run_output=run_output, run_call=run_call,
+            )
+            counts["ok" if ok else "err"] += 1
+            if verbose:
+                print(f"[{'ok' if ok else 'ERR'}] {youtube_id}_{start_time}")
+    return counts
 
 
 class AudioCapsItem:
@@ -64,10 +224,15 @@ class AudioCaps:
                 f"Invalid argument {subset} for AudioCaps. (expected one of {self.SUBSETS})"
             )
         if download:
-            raise RuntimeError(
-                "AudioCaps download requires youtube-dl/ffmpeg and network access; "
-                "prepare the audio directory offline and pass download=False"
-            )
+            import shutil
+
+            if not (shutil.which("youtube-dl") and shutil.which("ffmpeg")):
+                raise RuntimeError(
+                    "AudioCaps download requires youtube-dl/ffmpeg on PATH (and "
+                    "network access); prepare the audio directory offline (see "
+                    "prepare_audiocaps_subset) and pass download=False"
+                )
+            prepare_audiocaps_subset(root, subset, self.SAMPLE_RATE, verbose=verbose)
         self.__root = root
         self.__subset = subset
         self.__with_tags = with_tags

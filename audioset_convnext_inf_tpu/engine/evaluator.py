@@ -57,19 +57,17 @@ class Evaluator:
         # shardings come from the device_put inputs; explicit jit
         # in_shardings runs ~60x slower through the remote-relay backend
         self._forward = jax.jit(_forward)
-        if self.mesh.size > 1:
-            from audioset_convnext_inf_tpu.parallel.mesh import replicate
-
-            self.params = jax.device_put(self.params, replicate(self.mesh))
+        self.set_params(self.params)
 
     def set_params(self, params: Any) -> None:
         """Swap in fresh params with the constructor's mesh placement
-        (mid-training eval); direct assignment would bypass replication."""
-        if self.mesh.size > 1:
-            from audioset_convnext_inf_tpu.parallel.mesh import replicate
+        (mid-training eval); direct assignment would bypass replication.
+        Unconditional (even for a 1-device mesh): the incoming params may
+        live on a DIFFERENT mesh (e.g. handed over from a trainer), which
+        would crash the jitted forward with mixed device sets."""
+        from audioset_convnext_inf_tpu.parallel.mesh import replicate
 
-            params = jax.device_put(params, replicate(self.mesh))
-        self.params = params
+        self.params = jax.device_put(params, replicate(self.mesh))
 
     def infer_probs(self, loader: Iterable) -> Dict[str, np.ndarray]:
         """Forward every batch; returns {'clipwise_output', 'target'} (N, C).

@@ -290,6 +290,16 @@ def _frontend_and_bn0(
                 )
         if frontend is None:
             frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
+        if not train and cfg.frontend.top_db is None:
+            # eval-mode bn0 is a per-mel-bin affine over running stats: fold
+            # it into the frontend's log chain (one fused elementwise op in
+            # XLA; stays in VMEM in the Pallas kernel) instead of a separate
+            # pass over the (B, T, M) log-mels. Reference convnext.py:304-306.
+            bn = params["bn0"]
+            a = bn["scale"] * jax.lax.rsqrt(bn["var"] + cfg.bn_eps)
+            b_ = bn["bias"] - a * bn["mean"]
+            spec = frontend(waveform_or_spec, affine=(a, b_))
+            return jnp.transpose(spec, (0, 2, 3, 1)).astype(compute_dtype)
         spec = frontend(waveform_or_spec)  # (B, 1, T, M)
         x = jnp.transpose(spec, (0, 2, 3, 1))  # NHWC: (B, T, M, 1)
     else:

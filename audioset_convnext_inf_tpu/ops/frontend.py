@@ -218,12 +218,15 @@ def log_mel_spectrogram(
     cfg: FrontendConfig,
     mel_weights: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.float32,
+    affine: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """(B, num_samples) -> (B, 1, T, n_mels) log-mel, reference layout.
 
     Equivalent to spectrogram_extractor + logmel_extractor at reference
     convnext.py:298-299 (returns the same NCHW-with-C=1 layout the trunk
-    transposes for bn0).
+    transposes for bn0). ``affine=(a, b)`` applies a per-mel-bin ``a*x + b``
+    fused into the log's elementwise chain - the eval-mode bn0 fold
+    (reference convnext.py:304-306 with running statistics).
     """
     if mel_weights is None:
         mel_weights = jnp.asarray(
@@ -240,6 +243,9 @@ def log_mel_spectrogram(
         preferred_element_type=jnp.float32,
     )
     logmel = power_to_db(mel_power, cfg.amin, cfg.ref, cfg.top_db)
+    if affine is not None:
+        a, b = affine
+        logmel = logmel * a.astype(jnp.float32) + b.astype(jnp.float32)
     return logmel[:, None, :, :]
 
 
@@ -257,15 +263,17 @@ class LogMelFrontend:
             mel_filterbank(cfg.sample_rate, cfg.n_fft, cfg.n_mels, cfg.fmin, cfg.fmax)
         )
 
-    def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, waveform: jnp.ndarray, affine=None) -> jnp.ndarray:
         if self.cfg.impl == "pallas":
             from audioset_convnext_inf_tpu.ops.pallas_frontend import (
                 fused_log_mel_spectrogram,
             )
 
             return fused_log_mel_spectrogram(
-                waveform, self.cfg, self.mel_weights, compute_dtype=self.compute_dtype
+                waveform, self.cfg, self.mel_weights,
+                compute_dtype=self.compute_dtype, affine=affine,
             )
         return log_mel_spectrogram(
-            waveform, self.cfg, self.mel_weights, compute_dtype=self.compute_dtype
+            waveform, self.cfg, self.mel_weights,
+            compute_dtype=self.compute_dtype, affine=affine,
         )

@@ -57,7 +57,8 @@ def _padded_bases(n_fft: int, win_length: int, n_mels: int, sample_rate: int,
     return jnp.asarray(cos_p), jnp.asarray(sin_p), jnp.asarray(mel_t)
 
 
-def _logmel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, amin: float, db_offset: float):
+def _logmel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, a_ref, b_ref, out_ref,
+                   *, amin: float, db_offset: float):
     f = frames_ref[0]  # (F_TILE, n_fft) float32
     dn = (((1,), (0,)), ((), ()))
     re = jax.lax.dot_general(
@@ -74,7 +75,9 @@ def _logmel_kernel(frames_ref, cos_ref, sin_ref, mel_ref, out_ref, *, amin: floa
         preferred_element_type=jnp.float32,
     )
     log_spec = 10.0 * _INV_LN10 * jnp.log(jnp.maximum(mel_power, amin))
-    out_ref[0] = log_spec - db_offset
+    # optional fused per-mel-bin affine (eval-mode bn0 fold): stays in VMEM
+    # instead of a second HBM pass over the (B, T, n_mels) log-mels
+    out_ref[0] = (log_spec - db_offset) * a_ref[0] + b_ref[0]
 
 
 def _use_interpret() -> bool:
@@ -86,9 +89,11 @@ def fused_log_mel_spectrogram(
     cfg: FrontendConfig,
     mel_weights: Optional[jnp.ndarray] = None,  # unused: bases derive from cfg
     compute_dtype=jnp.float32,
+    affine=None,
 ) -> jnp.ndarray:
     """(B, num_samples) -> (B, 1, T, n_mels); drop-in for
-    ops.frontend.log_mel_spectrogram with the fused kernel."""
+    ops.frontend.log_mel_spectrogram with the fused kernel. ``affine=(a, b)``
+    fuses the eval-mode bn0 per-mel-bin scale/shift into the kernel."""
     del mel_weights
     if waveform.ndim == 1:
         waveform = waveform[None, :]
@@ -109,6 +114,12 @@ def fused_log_mel_spectrogram(
     )
     n_freq_pad = cos_p.shape[1]
     db_offset = 10.0 * float(np.log10(max(cfg.amin, cfg.ref)))
+    if affine is not None:
+        aff_a = jnp.asarray(affine[0], jnp.float32)[None, :]
+        aff_b = jnp.asarray(affine[1], jnp.float32)[None, :]
+    else:
+        aff_a = jnp.ones((1, cfg.n_mels), jnp.float32)
+        aff_b = jnp.zeros((1, cfg.n_mels), jnp.float32)
 
     grid = (b, t_pad // _F_TILE)
     out = pl.pallas_call(
@@ -119,6 +130,8 @@ def fused_log_mel_spectrogram(
             pl.BlockSpec((cfg.n_fft, n_freq_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((cfg.n_fft, n_freq_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n_freq_pad, cfg.n_mels), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.n_mels), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cfg.n_mels), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _F_TILE, cfg.n_mels), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t_pad, cfg.n_mels), jnp.float32),
@@ -128,8 +141,9 @@ def fused_log_mel_spectrogram(
             transcendentals=b * t_pad * cfg.n_mels,
         ),
         interpret=_use_interpret(),
-    )(frames, cos_p, sin_p, mel_t)
+    )(frames, cos_p, sin_p, mel_t, aff_a, aff_b)
 
     if cfg.top_db is not None:
+        assert affine is None, "top_db clamping must precede the bn0 affine"
         out = jnp.maximum(out, jnp.max(out) - cfg.top_db)
     return out[:, None, :num_frames, :]

@@ -101,3 +101,58 @@ def test_transfer_trainer_freezes_base(audiocaps_root):
         np.asarray(model.params["conv_block1"]["conv1"]["w"]), before_conv
     )  # base frozen
     assert not np.allclose(np.asarray(model.params["fc_audioset"]["w"]), before_fc)
+
+
+def test_download_command_builders():
+    """Command shapes match the reference youtube-dl/ffmpeg invocations
+    (audiocaps.py:688-732) argument for argument."""
+    from audioset_convnext_inf_tpu.data.audiocaps import (
+        ffmpeg_extract_command,
+        youtube_url_command,
+    )
+
+    assert youtube_url_command("abc123") == [
+        "youtube-dl",
+        "--youtube-skip-dash-manifest",
+        "-g",
+        "https://www.youtube.com/watch?v=abc123",
+    ]
+    cmd = ffmpeg_extract_command("http://a/stream", "/out/yt_10.flac", 10)
+    assert cmd == [
+        "ffmpeg", "-i", "http://a/stream", "-vn", "-f", "flac", "-acodec",
+        "flac", "-ss", "10", "-t", "10.00096876", "-ar", "32000", "-ac", "1",
+        "/out/yt_10.flac",
+    ]
+
+
+def test_prepare_audiocaps_subset_with_mock_runners(audiocaps_root, tmp_path):
+    """The download pipeline walks the captions CSV and issues the right
+    command pairs; runners are injected (no network in this environment)."""
+    from audioset_convnext_inf_tpu.data.audiocaps import prepare_audiocaps_subset
+
+    issued = {"url": [], "extract": []}
+
+    def fake_output(cmd):
+        issued["url"].append(cmd)
+        return b"http://video\nhttp://audio\n"
+
+    def fake_call(cmd):
+        issued["extract"].append(cmd)
+        open(cmd[-1], "wb").close()  # "download" the file
+        return 0
+
+    counts = prepare_audiocaps_subset(
+        audiocaps_root, "train", run_output=fake_output, run_call=fake_call
+    )
+    assert counts == {"ok": 4, "err": 0, "skipped": 0}
+    assert len(issued["url"]) == 4 and len(issued["extract"]) == 4
+    assert issued["url"][0][-1].endswith("watch?v=yttrain0000")
+    assert issued["extract"][0][2] == "http://audio"
+    # second run: everything already on disk
+    counts2 = prepare_audiocaps_subset(
+        audiocaps_root, "train", run_output=fake_output, run_call=fake_call
+    )
+    assert counts2 == {"ok": 0, "err": 0, "skipped": 4}
+    # missing captions CSV raises with the official URL
+    with pytest.raises(FileNotFoundError, match="cdjkim/audiocaps"):
+        prepare_audiocaps_subset(str(tmp_path), "test")

@@ -114,3 +114,32 @@ def test_train_cli_two_steps(tmp_path):
     state = load_checkpoint(str(ckpts[0]))
     assert state["iteration"] == 2
     assert state["sampler_state"] is not None
+
+
+def test_verify_checkpoint_gate(tmp_path):
+    """The checkpoint-arrival gate runs end-to-end on a synthetic checkpoint:
+    param count + shape checks PASS, golden-index check FAILS (random
+    weights), exit code 1. With the real 471mAP weights the same command
+    must exit 0."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        import verify_checkpoint
+    finally:
+        sys.path.pop(0)
+
+    import jax
+    from audioset_convnext_inf_tpu.checkpoint.io import save_safetensors
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = ConvNeXtConfig(drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    ckpt = str(tmp_path / "model.safetensors")
+    save_safetensors(params, cfg, ckpt)
+
+    rc = verify_checkpoint.main(
+        [ckpt, "--wav", "tests/fixtures/f62-S-v2swA_200000_210000.wav"]
+    )
+    assert rc == 1  # random weights cannot reproduce the golden indexes

@@ -49,3 +49,89 @@ def test_dataset_fbank_mode(tmp_path):
     item = ds[{"hdf5_path": packed, "index_in_hdf5": 0}]
     assert "fbank" in item and "waveform" not in item
     assert item["fbank"].shape[1] == 224
+
+
+# ---------------------------------------------------------------------------
+# Oracle check (VERDICT round-1 missing #2): a torch-based re-expression of
+# torchaudio.compliance.kaldi.fbank (the function the reference calls at
+# data_generator.py:81-91), written against the torchaudio source as an
+# independent code path (torch.stft-family ops, unfold framing, replicate-pad
+# preemphasis), plus frozen golden values so both implementations cannot
+# silently co-drift.
+# ---------------------------------------------------------------------------
+
+
+def _torch_kaldi_fbank(wave, sr=32000, num_mel_bins=224, frame_length=64.0, frame_shift=10.0):
+    """torchaudio.compliance.kaldi.fbank(htk_compat=True, use_energy=False,
+    window_type='hanning', dither=0.0) re-expressed step-by-step.
+    htk_compat only moves the energy column, which use_energy=False omits."""
+    import torch
+
+    x = torch.as_tensor(wave, dtype=torch.float32)
+    window_size = int(sr * frame_length * 0.001)
+    window_shift = int(sr * frame_shift * 0.001)
+    padded = 1 << (window_size - 1).bit_length()  # round_to_power_of_two
+    m = 1 + (x.shape[0] - window_size) // window_shift  # snip_edges
+    strided = x.unfold(0, window_size, window_shift)[:m].clone()
+    strided = strided - strided.mean(dim=1, keepdim=True)  # remove_dc_offset
+    offset = torch.nn.functional.pad(  # preemphasis, replicate first sample
+        strided[:, :-1].unsqueeze(0), (1, 0), mode="replicate"
+    ).squeeze(0)
+    strided = strided - 0.97 * offset
+    strided = strided * torch.hann_window(window_size, periodic=False)
+    strided = torch.nn.functional.pad(strided, (0, padded - window_size))
+    spectrum = torch.fft.rfft(strided).abs().pow(2.0)
+
+    def mel(f):
+        return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    nfb, fbw = padded // 2, sr / padded
+    ml, mh = mel(20.0), mel(sr / 2.0)
+    md = (mh - ml) / (num_mel_bins + 1)
+    fft_mel = mel(fbw * np.arange(nfb))
+    banks = np.zeros((num_mel_bins, nfb + 1))
+    for j in range(num_mel_bins):
+        l, c, r = ml + j * md, ml + (j + 1) * md, ml + (j + 2) * md
+        banks[j, :nfb] = np.clip(
+            np.minimum((fft_mel - l) / (c - l), (r - fft_mel) / (r - c)), 0, None
+        )
+    mel_e = spectrum @ torch.from_numpy(banks.astype(np.float32)).T
+    return torch.log(mel_e.clamp(min=torch.finfo(torch.float32).eps)).numpy()
+
+
+def _golden_signals():
+    rng = np.random.RandomState(42)
+    impulse = np.zeros(6400, np.float32)
+    impulse[3000] = 1.0
+    tone = (0.5 * np.sin(2 * np.pi * 440 * np.arange(9600) / 32000) + 0.01).astype(np.float32)
+    noise = (rng.randn(9600) * 0.1).astype(np.float32)
+    return {"impulse": impulse, "tone": tone, "noise": noise}
+
+
+# (shape, mean, [0,0], [-1,-1], [T//2, 112]) captured from _torch_kaldi_fbank
+_GOLDEN = {
+    "impulse": ((14, 224), -10.257533, -15.942385, -15.942385, -0.453686),
+    "tone": ((24, 224), -14.754333, -15.942385, -15.942385, -15.942385),
+    "noise": ((24, 224), 1.244921, -4.858353, 6.469761, 1.586731),
+}
+
+
+@pytest.mark.parametrize("name", ["impulse", "tone", "noise"])
+def test_fbank_matches_torch_oracle(name):
+    sig = _golden_signals()[name]
+    ours = kaldi_fbank(sig)
+    ref = _torch_kaldi_fbank(sig)
+    assert ours.shape == ref.shape == _GOLDEN[name][0]
+    np.testing.assert_allclose(ours, ref, atol=2e-3)  # log domain, f32 FFTs
+
+
+@pytest.mark.parametrize("name", ["impulse", "tone", "noise"])
+def test_fbank_matches_frozen_goldens(name):
+    sig = _golden_signals()[name]
+    fb = kaldi_fbank(sig)
+    shape, mean, v00, vLL, vmid = _GOLDEN[name]
+    assert fb.shape == shape
+    np.testing.assert_allclose(fb.mean(), mean, atol=2e-3)
+    np.testing.assert_allclose(fb[0, 0], v00, atol=2e-3)
+    np.testing.assert_allclose(fb[-1, -1], vLL, atol=2e-3)
+    np.testing.assert_allclose(fb[shape[0] // 2, 112], vmid, atol=2e-3)

@@ -158,3 +158,20 @@ def test_cnn14_matches_torch_oracle_via_converter(rng):
     np.testing.assert_allclose(
         np.asarray(out["clipwise_logits"]), ref_logits.numpy(), atol=3e-4
     )
+
+
+def test_sed_plot_figure(tmp_path, rng):
+    """The --plot SED figure (reference inference.py:172-196) renders and
+    saves a non-empty png headlessly."""
+    from audioset_convnext_inf_tpu.cli.inference import plot_sed
+    from audioset_convnext_inf_tpu.config import FrontendConfig
+    from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
+
+    wav = (rng.randn(32000) * 0.1).astype(np.float32)
+    framewise = rng.rand(101, 527).astype(np.float32)
+    top = np.argsort(framewise.max(axis=0))[::-1][:10]
+    out = str(tmp_path / "sed.png")
+    plot_sed(wav, framewise, top, read_audioset_label_tags(),
+             FrontendConfig(), out)
+    import os
+    assert os.path.getsize(out) > 10000

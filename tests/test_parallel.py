@@ -75,3 +75,59 @@ def test_statistics_container_roundtrip(tmp_path):
     sc2.load_state_dict(resume_iteration=10000)
     assert [s["iteration"] for s in sc2.statistics_dict["test"]] == [10000]
     assert [s["iteration"] for s in sc2.statistics_dict["bal"]] == [5000]
+
+
+def _small_cfg():
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+
+    return ConvNeXtConfig(
+        name="dp_small", depths=(1, 1, 1, 1), dims=(32, 64, 128, 256),
+        drop_path_rate=0.1,
+    )
+
+
+def test_sharded_train_step_matches_single_device():
+    """The actual DP-correctness property: one train step on the 8-device
+    mesh (batch sharded, params replicated, XLA-inserted grad all-reduce)
+    produces the same loss and updated params as the same step on 1 device."""
+    from audioset_convnext_inf_tpu.engine.trainer import TrainConfig, Trainer
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = _small_cfg()
+    tc = TrainConfig(max_lr=1e-3, total_steps=100, mixup_alpha=1.0, seed=7)
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+
+    rng = np.random.RandomState(3)
+    wav = (rng.randn(16, 16000) * 0.1).astype(np.float32)  # mixup pairs -> 8
+    tgt = (rng.rand(16, cfg.num_classes) < 0.05).astype(np.float32)
+
+    losses, flats = [], []
+    for devs in (jax.devices()[:1], jax.devices()[:8]):
+        mesh = get_mesh(devs)
+        tr = Trainer(cfg, tc, jax.tree_util.tree_map(jnp.array, params), mesh=mesh)
+        losses.append(tr.step(wav, tgt))
+        flats.append(jax.tree_util.tree_leaves(tr.state.params))
+
+    # identical PRNG keys => identical SpecAugment/DropPath/mixup draws; the
+    # only fp difference is the reduction order of the sharded grad psum
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    # Adam's update normalizes by sqrt(v): psum reduction-order noise in the
+    # grads (~1e-8) can surface as ~3e-6 in the updated params
+    for a, b in zip(flats[0], flats[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sharded_eval_forward_matches_unsharded():
+    from audioset_convnext_inf_tpu.engine.evaluator import Evaluator
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = _small_cfg()
+    params = F.init_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(5)
+    loader = [{"waveform": (rng.randn(12, 16000) * 0.1).astype(np.float32)}]
+
+    probs = []
+    for devs in (jax.devices()[:1], jax.devices()[:8]):
+        ev = Evaluator(params, cfg, mesh=get_mesh(devs))
+        probs.append(ev.infer_probs(loader)["clipwise_output"])
+    np.testing.assert_allclose(probs[0], probs[1], atol=1e-6)
