@@ -170,7 +170,9 @@ def _block_apply(
         )
     x = L.layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps)
     x = L.linear(x, p["pwconv1"]["w"], p["pwconv1"]["b"])
-    x = L.gelu(x)
+    # "xla_approx": XLA ops with the tanh GELU (same numerics class as the
+    # Pallas kernels; erf GELU is a slow polynomial expansion on the VPU)
+    x = jax.nn.gelu(x, approximate=block_impl == "xla_approx")
     x = L.linear(x, p["pwconv2"]["w"], p["pwconv2"]["b"])
     if "gamma" in p:
         x = x * p["gamma"].astype(x.dtype)
@@ -204,6 +206,36 @@ def _stem_conv(x: Array, p: Params, cfg: ConvNeXtConfig) -> Array:
     return L.conv2d(x, w, b_, stride=stride, padding=pad)
 
 
+def _downsample_hwbc(x: Array, p: Params, eps: float) -> Array:
+    """Downsample layer (reference convnext.py:225-235) in (H, W, B, C):
+    LayerNorm then 2x2 stride-2 conv as patchify-reshape + GEMM (the kernel
+    equals the stride, so the conv is an exact non-overlapping patch GEMM)."""
+    x = L.layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps)
+    H, W, B, C = x.shape
+    x = x[: H // 2 * 2, : W // 2 * 2]
+    x = x.reshape(H // 2, 2, W // 2, 2, B, C)
+    x = jnp.transpose(x, (0, 2, 4, 1, 3, 5)).reshape(H // 2, W // 2, B, 4 * C)
+    w = p["conv"]["w"]  # (2, 2, Cin, Cout) HWIO; flatten matches patch order
+    return L.linear(x, w.reshape(4 * C, -1), p["conv"]["b"])
+
+
+def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int) -> Array:
+    from audioset_convnext_inf_tpu.ops.pallas_fused_block import fused_block_hwbc
+
+    return fused_block_hwbc(
+        x,
+        p["dwconv"]["w"].reshape(7, 7, -1), p["dwconv"]["b"],
+        p["norm"]["scale"], p["norm"]["bias"],
+        p["pwconv1"]["w"], p["pwconv1"]["b"],
+        p["pwconv2"]["w"], p["pwconv2"]["b"],
+        p.get("gamma"), eps=eps, ht=ht, mrows=mrows,
+    )
+
+
+# (ht, mrows) per fused stage index; tuned on v5e (NOTES.md).
+_FUSED_STAGE_TILES = {3: (1, 1)}
+
+
 def forward_features(
     x: Array,
     params: Params,
@@ -216,6 +248,12 @@ def forward_features(
     Mirrors reference forward_features (convnext.py:269-285): 4x
     (downsample, stage), then freq-mean + time-(max+mean) pooling and final
     LayerNorm; frame embeddings return *pre*-norm stage-4 output.
+
+    With ``block_impl="pallas"`` at eval, stages 3-4 run in the (H, W, B, C)
+    layout through the fully-fused block kernel (dwconv stencil overlapped
+    with the MLP GEMMs); stages 1-2 keep NHWC with XLA's depthwise conv
+    (whose lowering is already VPU-roofline-optimal at those channel counts)
+    plus the fused LN/MLP tail kernel.
     """
     (_, _), stride, pad = cfg.stem_geometry()
     dp_rates = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
@@ -227,6 +265,12 @@ def forward_features(
     block_impl = cfg.block_impl
     if train_key is not None and cfg.drop_path_rate > 0.0:
         block_impl = "xla"
+    # fused stages need eval mode and sublane-aligned batch
+    batch = x.shape[0]
+    fused_stages = (
+        block_impl == "pallas" and train_key is None and batch % 16 == 0
+    )
+    hwbc = False  # current layout flag
     cur = 0
 
     for i in range(4):
@@ -235,19 +279,41 @@ def forward_features(
             x = L.layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], cfg.ln_eps)
         else:
             d = params["downsample"][i - 1]
-            x = L.layer_norm(x, d["norm"]["scale"], d["norm"]["bias"], cfg.ln_eps)
-            x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
-        for j, block in enumerate(params["stages"][i]):
-            k = block_keys[cur + j] if train_key is not None else None
-            x = _block_apply(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k, block_impl)
+            if hwbc:
+                x = _downsample_hwbc(x, d, cfg.ln_eps)
+            else:
+                x = L.layer_norm(x, d["norm"]["scale"], d["norm"]["bias"], cfg.ln_eps)
+                x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
+        if fused_stages and i in _FUSED_STAGE_TILES and cfg.dims[i] % 128 == 0:
+            if not hwbc:
+                x = jnp.transpose(x, (1, 2, 0, 3))  # NHWC -> HWBC
+                hwbc = True
+            ht, mrows = _FUSED_STAGE_TILES[i]
+            for block in params["stages"][i]:
+                x = _fused_block(x, block, cfg.ln_eps, ht, mrows)
+        else:
+            if hwbc:
+                x = jnp.transpose(x, (2, 0, 1, 3))  # HWBC -> NHWC
+                hwbc = False
+            for j, block in enumerate(params["stages"][i]):
+                k = block_keys[cur + j] if train_key is not None else None
+                x = _block_apply(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k, block_impl)
         cur += cfg.depths[i]
 
     if return_frame_embeddings:
+        if hwbc:
+            x = jnp.transpose(x, (2, 0, 1, 3))
         return x  # (B, H=31, W=7, C) pre-norm, reference convnext.py:276-277
 
-    # Pool: mean over freq (W), then max+mean over time (H). NHWC: W=axis 2.
-    x = jnp.mean(x, axis=2)  # (B, H, C)
-    x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)  # (B, C)
+    if hwbc:
+        # Pool directly in HWBC: mean over freq (axis 1), max+mean over time
+        # (axis 0) -> (B, C); no transpose back needed.
+        x = jnp.mean(x, axis=1)  # (H, B, C)
+        x = jnp.max(x, axis=0) + jnp.mean(x, axis=0)  # (B, C)
+    else:
+        # Pool: mean over freq (W), then max+mean over time (H). NHWC: W=axis 2.
+        x = jnp.mean(x, axis=2)  # (B, H, C)
+        x = jnp.max(x, axis=1) + jnp.mean(x, axis=1)  # (B, C)
     return L.layer_norm(x, params["final_norm"]["scale"], params["final_norm"]["bias"], cfg.ln_eps)
 
 

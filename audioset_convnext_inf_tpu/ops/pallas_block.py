@@ -11,7 +11,8 @@ cutting per-block HBM traffic from ~(10 + 8*expansion)*C bytes/token to
 3*C reads+writes. The 7x7 depthwise conv stays in XLA (its conv lowering is
 already near memory-bound) and fuses with this kernel's input read.
 
-Token-tiled: x is viewed as (tokens, C); the grid walks 256-token tiles with
+Token-tiled: x is viewed as (tokens, C); the grid walks width-adaptive
+token tiles (_tok_tile: 4096 tokens at C=96 down to 512 at C=768) with
 weights resident in VMEM. f32 LN statistics, bf16/f32 GEMMs on the MXU.
 """
 
@@ -28,7 +29,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-_TOK_TILE = 256
+def _tok_tile(c: int, hidden: int) -> int:
+    """Token-tile size: scale inversely with width so every grid step feeds
+    the MXU a substantial matmul. At C=96 (stage 1) a fixed 256-token tile
+    meant ~7k grid steps of (256x96)@(96x384) - per-step overhead and MXU
+    underutilization dominated the whole model (measured: stage 1+2 were 63%
+    of forward time). Cap the f32 hidden accumulator at ~6 MB of VMEM."""
+    t = 256
+    while t < 4096 and (2 * t) * hidden * 4 <= 6 * 1024 * 1024:
+        t *= 2
+    return t
 
 
 def _round_up(x: int, m: int) -> int:
@@ -86,7 +96,8 @@ def fused_ln_mlp_residual(
     c = orig_shape[-1]
     hidden = w1.shape[-1]
     tokens = int(np.prod(orig_shape[:-1]))
-    t_pad = _round_up(tokens, _TOK_TILE)
+    tile = _tok_tile(c, hidden)
+    t_pad = _round_up(tokens, tile)
 
     x2 = x.reshape(tokens, c)
     r2 = residual.reshape(tokens, c)
@@ -98,10 +109,10 @@ def fused_ln_mlp_residual(
     g = gamma if gamma is not None else jnp.ones((c,), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_kernel, eps=eps, approx_gelu=approx_gelu),
-        grid=(t_pad // _TOK_TILE,),
+        grid=(t_pad // tile,),
         in_specs=[
-            pl.BlockSpec((_TOK_TILE, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TOK_TILE, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, hidden), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -110,13 +121,15 @@ def fused_ln_mlp_residual(
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_TOK_TILE, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_pad, c), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * t_pad * c * hidden * 2,
             bytes_accessed=3 * t_pad * c * x2.dtype.itemsize,
             transcendentals=t_pad * hidden,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_use_interpret(),
     )(
         x2,

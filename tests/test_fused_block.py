@@ -1,0 +1,130 @@
+"""Fully-fused ConvNeXt block kernel (dwconv + LN + MLP + residual).
+
+Parity targets: the composed reference math of pytorch/convnext.py:58-87
+(with the repo's tanh-GELU convention shared by the Pallas tail), and the
+integrated forward_features fused-stage path vs the unfused Pallas path.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from audioset_convnext_inf_tpu.ops.pallas_fused_block import fused_block_hwbc
+
+K, P = 7, 3
+
+
+def _block_params(rng, c):
+    return dict(
+        dw_w=jnp.asarray(rng.randn(K, K, c) * 0.05, jnp.float32),
+        dw_b=jnp.asarray(rng.randn(c) * 0.05, jnp.float32),
+        ln_scale=jnp.asarray(1 + rng.randn(c) * 0.05, jnp.float32),
+        ln_bias=jnp.asarray(rng.randn(c) * 0.05, jnp.float32),
+        w1=jnp.asarray(rng.randn(c, 4 * c) * 0.03, jnp.float32),
+        b1=jnp.asarray(rng.randn(4 * c) * 0.03, jnp.float32),
+        w2=jnp.asarray(rng.randn(4 * c, c) * 0.03, jnp.float32),
+        b2=jnp.asarray(rng.randn(c) * 0.03, jnp.float32),
+        gamma=jnp.asarray(rng.randn(c) * 0.2, jnp.float32),
+    )
+
+
+def _reference_block(x_nhwc, p):
+    """Composed XLA math with the kernel's tanh GELU."""
+    c = x_nhwc.shape[-1]
+    d = jax.lax.conv_general_dilated(
+        x_nhwc, p["dw_w"].reshape(K, K, 1, c), (1, 1), ((P, P), (P, P)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    ) + p["dw_b"]
+    mean = jnp.mean(d, -1, keepdims=True)
+    var = jnp.var(d, -1, keepdims=True)
+    xn = (d - mean) * jax.lax.rsqrt(var + 1e-6) * p["ln_scale"] + p["ln_bias"]
+    h1 = jax.nn.gelu(xn @ p["w1"] + p["b1"], approximate=True)
+    return x_nhwc + (h1 @ p["w2"] + p["b2"]) * p["gamma"]
+
+
+@pytest.mark.parametrize(
+    "shape,cp,ht,mrows",
+    [
+        ((13, 14, 32, 96), 128, 2, 2),   # C-padded, ragged H, n_h%3==1
+        ((12, 7, 16, 128), 128, 4, 1),   # exact C, single batch group
+        ((9, 4, 48, 64), 128, 2, 1),     # 3 batch groups, n_h%3==2
+    ],
+)
+def test_fused_block_matches_composed_math(rng, shape, cp, ht, mrows):
+    h, w, b, c = shape
+    p = _block_params(rng, c)
+    x = jnp.asarray(rng.randn(h, w, b, c) * 0.5, jnp.float32)
+    xh = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    y = fused_block_hwbc(
+        xh, p["dw_w"], p["dw_b"], p["ln_scale"], p["ln_bias"],
+        p["w1"], p["b1"], p["w2"], p["b2"], p["gamma"],
+        ht=ht, mrows=mrows)
+    assert y.shape == (h, w, b, cp)
+    # channel padding must stay exactly zero (downstream blocks rely on it)
+    if cp > c:
+        assert float(jnp.max(jnp.abs(y[..., c:]))) == 0.0
+    ref = _reference_block(jnp.transpose(x, (2, 0, 1, 3)), p)
+    got = jnp.transpose(y[..., :c], (2, 0, 1, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_block_no_gamma(rng):
+    h, w, b, c = 8, 5, 16, 128
+    p = _block_params(rng, c)
+    x = jnp.asarray(rng.randn(h, w, b, c) * 0.5, jnp.float32)
+    y = fused_block_hwbc(
+        x, p["dw_w"], p["dw_b"], p["ln_scale"], p["ln_bias"],
+        p["w1"], p["b1"], p["w2"], p["b2"], None, ht=2, mrows=1)
+    p1 = dict(p, gamma=jnp.ones_like(p["gamma"]))
+    ref = _reference_block(jnp.transpose(x, (2, 0, 1, 3)), p1)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(y, (2, 0, 1, 3))), np.asarray(ref), atol=3e-5)
+
+
+def test_forward_features_fused_stages_match_unfused(rng, monkeypatch):
+    """The fused-stage path equals the per-op Pallas path (same tanh GELU)."""
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = ConvNeXtConfig(depths=(1, 1, 2, 1), dims=(32, 64, 128, 256),
+                         drop_path_rate=0.0, block_impl="pallas")
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(16, 120, 56, 1) * 0.5, jnp.float32)
+
+    fused = F.forward_features(x, params, cfg)
+    with monkeypatch.context() as m:
+        m.setattr(F, "_FUSED_STAGE_TILES", {})
+        unfused = F.forward_features(x, params, cfg)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=5e-5)
+
+    # frame embeddings keep the reference (B, H, W, C) view
+    ff = F.forward_features(x, params, cfg, return_frame_embeddings=True)
+    with monkeypatch.context() as m:
+        m.setattr(F, "_FUSED_STAGE_TILES", {})
+        fu = F.forward_features(x, params, cfg, return_frame_embeddings=True)
+    assert ff.shape == fu.shape
+    np.testing.assert_allclose(np.asarray(ff), np.asarray(fu), atol=5e-5)
+
+
+def test_forward_features_fused_gates(rng):
+    """Batches not divisible by 16 and dims not divisible by 128 fall back."""
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(32, 64, 128, 256),
+                         drop_path_rate=0.0, block_impl="pallas")
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.randn(3, 120, 56, 1) * 0.5, jnp.float32)
+    y = F.forward_features(x, params, cfg)  # B=3: must not hit the kernel
+    assert y.shape == (3, 256)
+
+    cfg2 = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(24, 48, 96, 192),
+                          drop_path_rate=0.0, block_impl="pallas")
+    params2 = F.init_params(jax.random.PRNGKey(0), cfg2)
+    y2 = F.forward_features(jnp.asarray(rng.randn(16, 120, 56, 1), jnp.float32),
+                            params2, cfg2)  # dims % 128 != 0: fall back
+    assert y2.shape == (16, 192)
