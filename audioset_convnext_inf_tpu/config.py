@@ -115,9 +115,15 @@ class ConvNeXtConfig:
     after_stem_dim: Tuple[int, ...] = (252, 56)
     ln_eps: float = 1e-6
     bn_eps: float = 1e-5
-    # Block tail implementation: "xla" (exact erf GELU) or "pallas" (fused
-    # LN->MLP->scale->residual kernel, tanh GELU - use with bf16 compute).
-    # Training always uses the XLA path (the kernel has no custom VJP yet).
+    # Block tail implementation:
+    #  - "xla": exact erf GELU (torch parity; erf is a slow polynomial on
+    #    the TPU VPU - use for f32 parity evaluation, not serving)
+    #  - "xla_approx": XLA ops with tanh GELU - the fast serving default
+    #    (tanh-vs-erf deviation <=1.1e-3 absolute, below bf16 rounding);
+    #    also enables the fused stage-4 Pallas block kernel at eval
+    #  - "pallas": fused LN->MLP tail kernel (tanh GELU); superseded by
+    #    "xla_approx" for serving - XLA fuses the tanh tail better than the
+    #    kernel at stage-1/2 widths - but kept for the trainable fused tail
     block_impl: str = "xla"
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     augment: AugmentConfig = field(default_factory=AugmentConfig)

@@ -39,6 +39,14 @@ class ConvNeXt:
     """
 
     def __init__(self, cfg: ConvNeXtConfig, params: Params, compute_dtype=jnp.float32):
+        if compute_dtype != jnp.float32 and cfg.block_impl == "xla":
+            # bf16 serving defaults to the fast tanh-GELU path: its erf-vs-
+            # tanh deviation (<=1.1e-3) is below bf16 rounding, and the erf
+            # polynomial alone costs ~45% of forward time on the VPU. Pass
+            # an explicit block_impl to override.
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, block_impl="xla_approx")
         self.cfg = cfg
         self.params = params
         self.compute_dtype = compute_dtype

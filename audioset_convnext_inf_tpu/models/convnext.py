@@ -233,7 +233,7 @@ def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int) -> Array:
 
 
 # (ht, mrows) per fused stage index; tuned on v5e (NOTES.md).
-_FUSED_STAGE_TILES = {3: (1, 1)}
+_FUSED_STAGE_TILES = {2: (4, 1), 3: (1, 1)}
 
 
 def forward_features(
@@ -263,12 +263,13 @@ def forward_features(
     # for EVERY block (the fused kernel has no DropPath; a per-block switch
     # would mix tanh- and erf-GELU blocks in one model)
     block_impl = cfg.block_impl
-    if train_key is not None and cfg.drop_path_rate > 0.0:
+    if train_key is not None and cfg.drop_path_rate > 0.0 and block_impl == "pallas":
         block_impl = "xla"
     # fused stages need eval mode and sublane-aligned batch
     batch = x.shape[0]
     fused_stages = (
-        block_impl == "pallas" and train_key is None and batch % 16 == 0
+        block_impl in ("pallas", "xla_approx")
+        and train_key is None and batch % 16 == 0
     )
     hwbc = False  # current layout flag
     cur = 0
