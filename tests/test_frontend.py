@@ -158,3 +158,40 @@ def test_bn0_fold_in_model_forward(rng):
     emb = F.forward_features(xm[..., None], params, cfg)
     ref = L.linear(emb, params["head"]["w"], params["head"]["b"])
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_ct_dft_matches_direct(rng):
+    """Cooley-Tukey GEMM-DFT == direct GEMM-DFT (reordered), and the log-mel
+    path with dft_impl='ct' matches 'direct' to ~1e-3 dB."""
+    import dataclasses
+
+    from audioset_convnext_inf_tpu.config import FrontendConfig
+    from audioset_convnext_inf_tpu.ops import frontend as FE
+
+    wav = jnp.asarray(rng.randn(2, 32000).astype(np.float32) * 0.3)
+    cfg_d = FrontendConfig(precision="highest")
+    cfg_c = dataclasses.replace(cfg_d, dft_impl="ct")
+
+    p_d = np.asarray(FE.power_spectrogram(wav, cfg_d))
+    p_c = np.asarray(FE.power_spectrogram_ct(wav, cfg_c))
+    k_of = FE.ct_bin_to_k(cfg_d.n_fft)
+    valid = k_of >= 0
+    # every one-sided bin is covered exactly once
+    assert sorted(k_of[valid]) == list(range(cfg_d.n_fft // 2 + 1))
+    p_ck = np.zeros_like(p_d)
+    p_ck[..., k_of[valid]] = p_c[..., valid]
+    rel = np.abs(p_ck - p_d) / (np.abs(p_d) + 1e-6)
+    assert rel.max() < 5e-3, rel.max()
+
+    lm_d = np.asarray(FE.log_mel_spectrogram(wav, cfg_d))
+    lm_c = np.asarray(FE.log_mel_spectrogram(wav, cfg_c))
+    assert np.abs(lm_d - lm_c).max() < 5e-3  # dB
+
+
+def test_ct_factors():
+    from audioset_convnext_inf_tpu.ops.frontend import _ct_factors
+
+    assert _ct_factors(1024) == (32, 32)
+    p, q = _ct_factors(512)
+    assert p * q == 512 and p % 2 == 0
+    assert _ct_factors(7) is None  # prime: no even split -> direct fallback
