@@ -28,6 +28,8 @@ def main(argv=None) -> int:
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--max-wait-ms", type=float, default=20.0)
     parser.add_argument("--top-k", type=int, default=10)
+    parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
+                        help="bfloat16 enables the fast tanh-GELU serving path")
     args = parser.parse_args(argv)
 
     from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
@@ -40,10 +42,13 @@ def main(argv=None) -> int:
     from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
     from audioset_convnext_inf_tpu.models import ConvNeXt, convnext_tiny
 
+    import jax.numpy as jnp
+
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.checkpoint:
-        model = ConvNeXt.from_pretrained(args.checkpoint)
+        model = ConvNeXt.from_pretrained(args.checkpoint, compute_dtype=compute_dtype)
     else:
-        model = convnext_tiny(drop_path_rate=0.0)
+        model = convnext_tiny(drop_path_rate=0.0, compute_dtype=compute_dtype)
         print("WARNING: no checkpoint given - serving random weights")
 
     service = InferenceService(model, batch_size=args.batch_size,

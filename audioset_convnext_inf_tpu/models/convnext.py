@@ -234,6 +234,8 @@ def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int) -> Array:
 
 # (ht, mrows) per fused stage index; tuned on v5e (NOTES.md).
 _FUSED_STAGE_TILES = {2: (4, 1), 3: (1, 1)}
+# test hook: allow the fused stages under the CPU interpreter
+_FUSED_ON_CPU = False
 
 
 def forward_features(
@@ -265,11 +267,14 @@ def forward_features(
     block_impl = cfg.block_impl
     if train_key is not None and cfg.drop_path_rate > 0.0 and block_impl == "pallas":
         block_impl = "xla"
-    # fused stages need eval mode and sublane-aligned batch
+    # fused stages need eval mode, a sublane-aligned batch, and a real TPU
+    # (in interpret mode on CPU the kernel is orders of magnitude slower
+    # than the XLA fallback; tests opt back in via _FUSED_ON_CPU)
     batch = x.shape[0]
     fused_stages = (
         block_impl in ("pallas", "xla_approx")
         and train_key is None and batch % 16 == 0
+        and (jax.default_backend() in ("tpu", "axon") or _FUSED_ON_CPU)
     )
     hwbc = False  # current layout flag
     cur = 0

@@ -95,6 +95,7 @@ def test_forward_features_fused_stages_match_unfused(rng, monkeypatch):
     params = F.init_params(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(rng.randn(16, 120, 56, 1) * 0.5, jnp.float32)
 
+    monkeypatch.setattr(F, "_FUSED_ON_CPU", True)
     fused = F.forward_features(x, params, cfg)
     with monkeypatch.context() as m:
         m.setattr(F, "_FUSED_STAGE_TILES", {})
@@ -110,10 +111,12 @@ def test_forward_features_fused_stages_match_unfused(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(ff), np.asarray(fu), atol=5e-5)
 
 
-def test_forward_features_fused_gates(rng):
+def test_forward_features_fused_gates(rng, monkeypatch):
     """Batches not divisible by 16 and dims not divisible by 128 fall back."""
     from audioset_convnext_inf_tpu.config import ConvNeXtConfig
     from audioset_convnext_inf_tpu.models import convnext as F
+
+    monkeypatch.setattr(F, "_FUSED_ON_CPU", True)
 
     cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(32, 64, 128, 256),
                          drop_path_rate=0.0, block_impl="pallas")
