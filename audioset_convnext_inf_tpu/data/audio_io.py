@@ -61,15 +61,25 @@ def decimate_resample(waveform: np.ndarray, sample_rate: int) -> np.ndarray:
 
 
 def resample_poly(waveform: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling with a Kaiser-windowed lowpass."""
+    """Polyphase resampling with a Kaiser-windowed lowpass.
+
+    Hot loop runs in the native C++ plane (resample_upfirdn, OpenMP over
+    output samples; matches scipy.signal.resample_poly to ~1e-7) with a
+    scipy fallback when the library isn't built.
+    """
     if orig_sr == target_sr:
         return waveform.astype(np.float32, copy=False)
-    from scipy import signal
-
     g = math.gcd(int(orig_sr), int(target_sr))
     up, down = target_sr // g, orig_sr // g
-    out = signal.resample_poly(waveform.astype(np.float64), up, down)
-    return out.astype(np.float32)
+
+    from audioset_convnext_inf_tpu.utils import native
+
+    out = native.resample_poly_kaiser(np.asarray(waveform, np.float32), up, down)
+    if out is not None:
+        return out
+    from scipy import signal
+
+    return signal.resample_poly(waveform.astype(np.float64), up, down).astype(np.float32)
 
 
 def normalize_pcm(data: np.ndarray, mono: bool = True) -> np.ndarray:
@@ -91,8 +101,21 @@ def read_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tupl
     """Read a WAV file -> (float32 waveform in [-1, 1], sample_rate).
 
     Optionally downmixes to mono (channel mean, like soundfile+mean in
-    dataset.py:204-207) and resamples to ``target_sr``.
+    dataset.py:204-207) and resamples to ``target_sr``. Parsing and decode
+    run in the native C++ plane (PCM 8/16/24/32 + IEEE float, incl.
+    WAVE_FORMAT_EXTENSIBLE) with a scipy fallback.
     """
+    from audioset_convnext_inf_tpu.utils import native
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    decoded = native.decode_wav_bytes(raw, mono=mono)
+    if decoded is not None:
+        x, sr = decoded
+        if target_sr is not None and sr != target_sr:
+            x = resample_poly(x, sr, target_sr)
+            sr = target_sr
+        return x, sr
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)

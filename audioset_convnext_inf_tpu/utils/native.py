@@ -110,3 +110,93 @@ def decimate_int16_to_float32(x: np.ndarray, stride: int) -> np.ndarray:
     out = np.empty(out_n, np.float32)
     lib.decimate_int16_to_float32(x, len(x), stride, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# WAV decode + polyphase resampling (native/audio_host.cpp round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+class _WavInfo(ctypes.Structure):
+    _fields_ = [
+        ("sample_rate", ctypes.c_int32),
+        ("channels", ctypes.c_int32),
+        ("bits_per_sample", ctypes.c_int32),
+        ("format", ctypes.c_int32),
+        ("frames", ctypes.c_int64),
+        ("data_offset", ctypes.c_int64),
+        ("data_bytes", ctypes.c_int64),
+    ]
+
+
+def _load_wav_api(lib: ctypes.CDLL) -> bool:
+    if getattr(lib, "_wav_api_ready", False):
+        return True
+    try:
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+        lib.wav_info.argtypes = [u8p, i64, ctypes.POINTER(_WavInfo)]
+        lib.wav_info.restype = ctypes.c_int
+        lib.wav_decode.argtypes = [u8p, i64, ctypes.POINTER(_WavInfo), f32p,
+                                   ctypes.c_int]
+        lib.wav_decode.restype = ctypes.c_int
+        lib.resample_upfirdn.argtypes = [f32p, i64, f64p, i64, i64, i64, f32p, i64]
+        lib._wav_api_ready = True
+        return True
+    except AttributeError:
+        return False
+
+
+def decode_wav_bytes(buf: bytes, mono: bool = True):
+    """RIFF/WAVE bytes -> (float32 waveform in [-1, 1], sample_rate).
+
+    Native parser handles PCM 8/16/24/32 and IEEE float32/64 (incl.
+    WAVE_FORMAT_EXTENSIBLE). Returns None when the native library is absent
+    or the format is unsupported (caller falls back to scipy).
+    """
+    lib = _load()
+    if lib is None or not _load_wav_api(lib):
+        return None
+    arr = np.frombuffer(buf, np.uint8)
+    info = _WavInfo()
+    if lib.wav_info(arr, arr.size, ctypes.byref(info)) != 0:
+        return None
+    if mono:
+        out = np.empty(info.frames, np.float32)
+    else:
+        out = np.empty((info.frames, info.channels), np.float32)
+    if lib.wav_decode(arr, arr.size, ctypes.byref(info), out.reshape(-1),
+                      1 if mono else 0) != 0:
+        return None
+    return out, int(info.sample_rate)
+
+
+def _kaiser_firwin(numtaps: int, cutoff: float, beta: float) -> np.ndarray:
+    """scipy.signal.firwin(numtaps, cutoff, window=("kaiser", beta)) in pure
+    numpy: windowed sinc, DC-gain normalized."""
+    n = np.arange(numtaps, dtype=np.float64)
+    m = n - (numtaps - 1) / 2.0
+    h = cutoff * np.sinc(cutoff * m)
+    h *= np.kaiser(numtaps, beta)
+    return h / h.sum()
+
+
+def resample_poly_kaiser(x: np.ndarray, up: int, down: int) -> Optional[np.ndarray]:
+    """scipy.signal.resample_poly(x, up, down) semantics (default Kaiser 5.0
+    window, 10*max(up,down) half-length) with the upfirdn hot loop in C++.
+
+    Returns None when the native library is unavailable.
+    """
+    lib = _load()
+    if lib is None or not _load_wav_api(lib):
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    max_rate = max(up, down)
+    numtaps = 2 * 10 * max_rate + 1
+    h = _kaiser_firwin(numtaps, 1.0 / max_rate, 5.0) * up
+    ny = -(-x.shape[-1] * up // down)
+    out = np.empty(ny, np.float32)
+    lib.resample_upfirdn(x, x.shape[-1], h, numtaps, up, down, out, ny)
+    return out

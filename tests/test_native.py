@@ -50,3 +50,87 @@ def test_audio_io_uses_same_semantics(rng):
     np.testing.assert_array_equal(
         float32_to_int16(f), (np.clip(f, -1, 1) * 32767.0).astype(np.int16)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 native additions: WAV parse/decode + polyphase resampler
+# ---------------------------------------------------------------------------
+
+
+def _wav_bytes(data: "np.ndarray", sr: int, bits: int, fmt: int = 1) -> bytes:
+    """Hand-rolled RIFF writer for PCM 16/24/32 and float32 test vectors."""
+    import struct
+
+    ch = 1 if data.ndim == 1 else data.shape[1]
+    flat = data.reshape(-1)
+    if fmt == 3:
+        raw = flat.astype(np.float32).tobytes()
+    elif bits == 16:
+        raw = flat.astype(np.int16).tobytes()
+    elif bits == 24:
+        raw = b"".join(struct.pack("<i", int(v) << 8)[0:3] for v in flat)
+    elif bits == 32:
+        raw = (flat.astype(np.int64) << 16).astype(np.int32).tobytes()
+    else:
+        raise ValueError(bits)
+    block = ch * bits // 8
+    return (b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, fmt, ch, sr, sr * block, block, bits)
+            + b"data" + struct.pack("<I", len(raw)) + raw)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_wav_decode_formats():
+    rng = np.random.RandomState(0)
+    pcm = (rng.randn(512) * 8000).astype(np.int16)
+
+    y, sr = native.decode_wav_bytes(_wav_bytes(pcm, 16000, 16))
+    assert sr == 16000
+    np.testing.assert_allclose(y, pcm / 32768.0, atol=0)
+
+    y24, _ = native.decode_wav_bytes(_wav_bytes(pcm, 32000, 24))
+    np.testing.assert_allclose(y24, (pcm.astype(np.int64) << 8) / 8388608.0,
+                               atol=1e-7)
+
+    y32, _ = native.decode_wav_bytes(_wav_bytes(pcm, 32000, 32))
+    np.testing.assert_allclose(y32, (pcm.astype(np.int64) << 16) / 2147483648.0,
+                               atol=1e-7)
+
+    f = (pcm / 32768.0).astype(np.float32)
+    yf, _ = native.decode_wav_bytes(_wav_bytes(f, 32000, 32, fmt=3))
+    np.testing.assert_allclose(yf, f, atol=0)
+
+    # stereo downmix = channel mean; non-mono keeps channels
+    st = np.stack([pcm, -pcm], 1)
+    ym, _ = native.decode_wav_bytes(_wav_bytes(st, 32000, 16))
+    assert np.abs(ym).max() < 1e-6
+    y2, _ = native.decode_wav_bytes(_wav_bytes(st, 32000, 16), mono=False)
+    assert y2.shape == (512, 2)
+    np.testing.assert_allclose(y2[:, 0], pcm / 32768.0, atol=0)
+
+    assert native.decode_wav_bytes(b"not a wav file at all") is None
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_resampler_matches_scipy():
+    from scipy import signal
+
+    x = np.random.RandomState(1).randn(12000).astype(np.float32)
+    for up, down in [(1, 2), (2, 3), (160, 441), (441, 160)]:
+        ref = signal.resample_poly(x.astype(np.float64), up, down)
+        got = native.resample_poly_kaiser(x, up, down)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=5e-6)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_read_wav_native_path(tmp_path):
+    from audioset_convnext_inf_tpu.data.audio_io import read_wav
+
+    rng = np.random.RandomState(2)
+    pcm = (rng.randn(16000) * 8000).astype(np.int16)
+    p = tmp_path / "t.wav"
+    p.write_bytes(_wav_bytes(pcm, 16000, 16))
+    x, sr = read_wav(str(p), target_sr=32000)
+    assert sr == 32000 and x.dtype == np.float32
+    assert abs(len(x) - 32000) <= 1
