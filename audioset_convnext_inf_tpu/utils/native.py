@@ -10,6 +10,7 @@ and multi-threaded.
 from __future__ import annotations
 
 import ctypes
+import functools
 import os
 import subprocess
 from typing import Optional
@@ -183,6 +184,12 @@ def _kaiser_firwin(numtaps: int, cutoff: float, beta: float) -> np.ndarray:
     return h / h.sum()
 
 
+@functools.lru_cache(maxsize=16)
+def _resample_filter(up: int, down: int) -> np.ndarray:
+    max_rate = max(up, down)
+    return _kaiser_firwin(2 * 10 * max_rate + 1, 1.0 / max_rate, 5.0) * up
+
+
 def resample_poly_kaiser(x: np.ndarray, up: int, down: int) -> Optional[np.ndarray]:
     """scipy.signal.resample_poly(x, up, down) semantics (default Kaiser 5.0
     window, 10*max(up,down) half-length) with the upfirdn hot loop in C++.
@@ -193,10 +200,8 @@ def resample_poly_kaiser(x: np.ndarray, up: int, down: int) -> Optional[np.ndarr
     if lib is None or not _load_wav_api(lib):
         return None
     x = np.ascontiguousarray(x, np.float32)
-    max_rate = max(up, down)
-    numtaps = 2 * 10 * max_rate + 1
-    h = _kaiser_firwin(numtaps, 1.0 / max_rate, 5.0) * up
+    h = _resample_filter(int(up), int(down))
     ny = -(-x.shape[-1] * up // down)
     out = np.empty(ny, np.float32)
-    lib.resample_upfirdn(x, x.shape[-1], h, numtaps, up, down, out, ny)
+    lib.resample_upfirdn(x, x.shape[-1], h, h.size, up, down, out, ny)
     return out
