@@ -129,3 +129,17 @@ def test_converter_validates_mel_weights():
     bad = mel_filterbank(f.sample_rate, f.n_fft, f.n_mels, 0.0, 8000.0).T
     with _pytest.raises(ValueError, match="deviates"):
         _validate_mel_weights(bad, cfg)  # different fmin/fmax
+
+
+def test_profile_ops_cpu_smoke():
+    """profile_ops returns a per-op table (CPU trace has host events only;
+    the TPU path is exercised by ad-hoc drives - NOTES.md round 2)."""
+    import jax.numpy as jnp
+
+    from audioset_convnext_inf_tpu.utils.profiling import profile_ops
+
+    rows = profile_ops(lambda x: (x @ x).sum(), jnp.ones((64, 64)), iters=2,
+                       log_dir="/tmp/jax-op-profile-test")
+    assert isinstance(rows, list)
+    for r in rows:
+        assert {"name", "category", "ms_per_iter"} <= set(r)
