@@ -116,9 +116,11 @@ def read_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tupl
             x = resample_poly(x, sr, target_sr)
             sr = target_sr
         return x, sr
+    import io
+
     from scipy.io import wavfile
 
-    sr, data = wavfile.read(path)
+    sr, data = wavfile.read(io.BytesIO(raw))  # reuse the bytes already read
     x = normalize_pcm(data, mono=mono)
     if target_sr is not None and sr != target_sr:
         x = resample_poly(x, sr, target_sr)

@@ -136,6 +136,26 @@ def download_and_extract_from_youtube(
         return False
 
 
+def _audio_file_valid(path: str) -> bool:
+    """Validity probe for a cached clip (reference __check_file decodes via
+    torchaudio): decode with soundfile when available, else check container
+    magic + a non-trivial size."""
+    try:
+        import soundfile as sf
+
+        with sf.SoundFile(path) as f:
+            return f.frames > 0
+    except ImportError:
+        try:
+            with open(path, "rb") as f:
+                magic = f.read(4)
+            return magic in (b"fLaC", b"RIFF", b"OggS") and os.path.getsize(path) > 1024
+        except OSError:
+            return False
+    except Exception:
+        return False
+
+
 def prepare_audiocaps_subset(
     root: str,
     subset: str,
@@ -145,6 +165,7 @@ def prepare_audiocaps_subset(
     run_output: Optional[Callable[[List[str]], bytes]] = None,
     run_call: Optional[Callable[[List[str]], int]] = None,
     verbose: int = 0,
+    validate_cache: Optional[Callable[[str], bool]] = None,
 ) -> Dict[str, int]:
     """Build ``<root>/AUDIOCAPS_<sr>Hz/audio/<subset>/`` from the official
     captions CSV (reference __prepare_data, audiocaps.py:510-671).
@@ -177,8 +198,13 @@ def prepare_audiocaps_subset(
                 )
             fpath = osp.join(dpath_audio, f"{youtube_id}_{start_time}.flac")
             if osp.isfile(fpath):
-                counts["skipped"] += 1
-                continue
+                if (validate_cache or _audio_file_valid)(fpath):
+                    counts["skipped"] += 1
+                    continue
+                # truncated/corrupt leftover from an interrupted run: the
+                # reference decodes and removes it (__check_file,
+                # audiocaps.py:600-620) so the cache can self-repair
+                os.remove(fpath)
             ok = download_and_extract_from_youtube(
                 youtube_id, fpath, int(start_time), sr=sample_rate,
                 youtube_dl_path=youtube_dl_path, ffmpeg_path=ffmpeg_path,

@@ -38,12 +38,14 @@ class ConvNeXt:
     jit-cached per (config, compute_dtype).
     """
 
-    def __init__(self, cfg: ConvNeXtConfig, params: Params, compute_dtype=jnp.float32):
-        if compute_dtype != jnp.float32 and cfg.block_impl == "xla":
+    def __init__(self, cfg: ConvNeXtConfig, params: Params, compute_dtype=jnp.float32,
+                 auto_fast_serving: bool = True):
+        if auto_fast_serving and compute_dtype != jnp.float32 and cfg.block_impl == "xla":
             # bf16 serving defaults to the fast tanh-GELU path: its erf-vs-
             # tanh deviation (<=1.1e-3) is below bf16 rounding, and the erf
             # polynomial alone costs ~45% of forward time on the VPU. Pass
-            # an explicit block_impl to override.
+            # auto_fast_serving=False to keep exact-erf "xla" under bf16
+            # (e.g. to separate bf16-rounding from GELU-flavor effects).
             import dataclasses
 
             cfg = dataclasses.replace(cfg, block_impl="xla_approx")
@@ -87,6 +89,7 @@ class ConvNeXt:
         pretrained_checkpoint_path: str,
         compute_dtype=jnp.float32,
         cfg: Optional[ConvNeXtConfig] = None,
+        auto_fast_serving: bool = True,
     ) -> "ConvNeXt":
         """Load from a local ``.pth``/``.safetensors``/native checkpoint, a
         Zenodo URL, or a HuggingFace model id (reference convnext.py:404-511).
@@ -96,7 +99,8 @@ class ConvNeXt:
         if cfg is None:
             cfg = ConvNeXtConfig(drop_path_rate=0.0, after_stem_dim=(252, 56))
         params = load_pretrained(pretrained_checkpoint_path, cfg)
-        return cls(cfg, params, compute_dtype=compute_dtype)
+        return cls(cfg, params, compute_dtype=compute_dtype,
+                   auto_fast_serving=auto_fast_serving)
 
 
 # ---------------------------------------------------------------------------

@@ -29,12 +29,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
 
-def _tok_tile(c: int, hidden: int) -> int:
-    """Token-tile size: scale inversely with width so every grid step feeds
-    the MXU a substantial matmul. At C=96 (stage 1) a fixed 256-token tile
-    meant ~7k grid steps of (256x96)@(96x384) - per-step overhead and MXU
-    underutilization dominated the whole model (measured: stage 1+2 were 63%
-    of forward time). Cap the f32 hidden accumulator at ~6 MB of VMEM."""
+def _tok_tile(hidden: int) -> int:
+    """Token-tile size: scale inversely with the MLP hidden width so every
+    grid step feeds the MXU a substantial matmul. At hidden=384 (stage 1) a
+    fixed 256-token tile meant ~7k grid steps of (256x96)@(96x384) -
+    per-step overhead and MXU underutilization dominated the whole model
+    (measured: stages 1+2 were 63% of forward time). Cap the f32 hidden
+    accumulator at ~6 MB of VMEM."""
     t = 256
     while t < 4096 and (2 * t) * hidden * 4 <= 6 * 1024 * 1024:
         t *= 2
@@ -96,7 +97,7 @@ def fused_ln_mlp_residual(
     c = orig_shape[-1]
     hidden = w1.shape[-1]
     tokens = int(np.prod(orig_shape[:-1]))
-    tile = _tok_tile(c, hidden)
+    tile = _tok_tile(hidden)
     t_pad = _round_up(tokens, tile)
 
     x2 = x.reshape(tokens, c)

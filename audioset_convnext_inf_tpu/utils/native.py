@@ -199,6 +199,9 @@ def resample_poly_kaiser(x: np.ndarray, up: int, down: int) -> Optional[np.ndarr
     lib = _load()
     if lib is None or not _load_wav_api(lib):
         return None
+    x = np.asarray(x)
+    if x.ndim != 1:
+        return None  # the C core is 1-D; callers fall back to scipy (axis=0)
     x = np.ascontiguousarray(x, np.float32)
     h = _resample_filter(int(up), int(down))
     ny = -(-x.shape[-1] * up // down)

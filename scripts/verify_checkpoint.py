@@ -97,7 +97,14 @@ def main(argv=None) -> int:
         sampler = EvaluateSampler(args.eval_indexes, args.batch_size)
         loader = DataLoader(AudioSetDataset(keep_int16=True), sampler, num_workers=8)
         dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-        stats = Evaluator(model.params, model.cfg, compute_dtype=dtype).evaluate(loader)
+        cfg_eval = model.cfg
+        if args.bf16 and cfg_eval.block_impl == "xla":
+            # gate the configuration that actually serves: bf16 ships the
+            # tanh-GELU path + fused stage-3/4 kernels (models/api.py)
+            import dataclasses
+
+            cfg_eval = dataclasses.replace(cfg_eval, block_impl="xla_approx")
+        stats = Evaluator(model.params, cfg_eval, compute_dtype=dtype).evaluate(loader)
         s = summarize(stats)
         print(f"eval: mAP={s['mAP']:.4f} mAUC={s['mAUC']:.4f} d'={s['dprime']:.4f}")
         check(

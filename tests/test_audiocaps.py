@@ -148,11 +148,20 @@ def test_prepare_audiocaps_subset_with_mock_runners(audiocaps_root, tmp_path):
     assert len(issued["url"]) == 4 and len(issued["extract"]) == 4
     assert issued["url"][0][-1].endswith("watch?v=yttrain0000")
     assert issued["extract"][0][2] == "http://audio"
-    # second run: everything already on disk
+    # second run: everything already on disk (the fake downloads are empty
+    # files, so accept them explicitly for the skip assertion)
     counts2 = prepare_audiocaps_subset(
-        audiocaps_root, "train", run_output=fake_output, run_call=fake_call
+        audiocaps_root, "train", run_output=fake_output, run_call=fake_call,
+        validate_cache=lambda p: True,
     )
     assert counts2 == {"ok": 0, "err": 0, "skipped": 4}
+    # third run with the real validator: the zero-byte leftovers are
+    # detected as corrupt, removed, and re-downloaded (reference
+    # __check_file semantics - the cache self-repairs)
+    counts3 = prepare_audiocaps_subset(
+        audiocaps_root, "train", run_output=fake_output, run_call=fake_call
+    )
+    assert counts3["ok"] == 4 and counts3["skipped"] == 0
     # missing captions CSV raises with the official URL
     with pytest.raises(FileNotFoundError, match="cdjkim/audiocaps"):
         prepare_audiocaps_subset(str(tmp_path), "test")
