@@ -22,7 +22,7 @@ import numpy as np
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=128)
-    parser.add_argument("--iters", type=int, default=12)
+    parser.add_argument("--iters", type=int, default=24)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--block-impl", default="xla_approx",
                         choices=["xla_approx", "pallas", "xla"])
