@@ -131,3 +131,26 @@ def test_forward_features_fused_gates(rng, monkeypatch):
     y2 = F.forward_features(jnp.asarray(rng.randn(16, 120, 56, 1), jnp.float32),
                             params2, cfg2)  # dims % 128 != 0: fall back
     assert y2.shape == (16, 192)
+
+
+def test_bf16_serving_config_defaults():
+    """Guard the shipped serving configuration: bf16 through the model API
+    must select tanh-GELU blocks, and the fused stages must stay registered
+    for the tiny/base channel widths (NOTES.md round-2 perf state)."""
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+    from audioset_convnext_inf_tpu.models.api import ConvNeXt
+
+    cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(16, 32, 64, 128),
+                         drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    m = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16)
+    assert m.cfg.block_impl == "xla_approx"
+    m2 = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16, auto_fast_serving=False)
+    assert m2.cfg.block_impl == "xla"
+    m3 = ConvNeXt(cfg, params)  # f32 keeps the exact-erf parity path
+    assert m3.cfg.block_impl == "xla"
+
+    assert set(F._FUSED_STAGE_TILES) == {2, 3}
+    for ht, mrows in F._FUSED_STAGE_TILES.values():
+        assert ht % mrows == 0
