@@ -131,3 +131,32 @@ def test_sharded_eval_forward_matches_unsharded():
         ev = Evaluator(params, cfg, mesh=get_mesh(devs))
         probs.append(ev.infer_probs(loader)["clipwise_output"])
     np.testing.assert_allclose(probs[0], probs[1], atol=1e-6)
+
+
+def test_sharded_eval_with_fused_stages_matches_unsharded(rng, monkeypatch):
+    """The fused HWBC block kernels (a Pallas custom-call GSPMD cannot split
+    itself) must still produce the unsharded result when the eval batch is
+    sharded over the full mesh - the production serving layout on a pod."""
+    import jax
+    import jax.numpy as jnp
+
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+    from audioset_convnext_inf_tpu.parallel.mesh import (
+        batch_sharding,
+        get_mesh,
+        replicate,
+    )
+
+    monkeypatch.setattr(F, "_FUSED_ON_CPU", True)
+    mesh = get_mesh(jax.devices()[:8])
+    cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(32, 64, 128, 256),
+                         drop_path_rate=0.0, block_impl="xla_approx")
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    params_r = jax.device_put(params, replicate(mesh))
+    x = jnp.asarray(rng.randn(128, 120, 56, 1) * 0.5, jnp.float32)
+    xs = jax.device_put(x, batch_sharding(mesh))
+
+    y = jax.jit(lambda p, x: F.forward_features(x, p, cfg))(params_r, xs)
+    y1 = F.forward_features(x, params, cfg)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y1), atol=1e-5)
