@@ -154,3 +154,17 @@ def test_bf16_serving_config_defaults():
     assert set(F._FUSED_STAGE_TILES) == {2, 3}
     for ht, mrows in F._FUSED_STAGE_TILES.values():
         assert ht % mrows == 0
+
+
+def test_fused_block_single_tile(rng):
+    """H < ht degenerates to one pipeline tile (n_h == 1): the steady-state
+    region never fires and the stencil/tail run in separate boundary steps."""
+    h, w, b, c = 3, 5, 16, 128
+    p = _block_params(rng, c)
+    x = jnp.asarray(rng.randn(h, w, b, c) * 0.5, jnp.float32)
+    y = fused_block_hwbc(
+        x, p["dw_w"], p["dw_b"], p["ln_scale"], p["ln_bias"],
+        p["w1"], p["b1"], p["w2"], p["b2"], p["gamma"], ht=4, mrows=1)
+    ref = _reference_block(jnp.transpose(x, (2, 0, 1, 3)), p)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(y, (2, 0, 1, 3))), np.asarray(ref), atol=3e-5)
