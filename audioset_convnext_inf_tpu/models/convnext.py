@@ -233,7 +233,7 @@ def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int) -> Array:
 
 
 # (ht, mrows) per fused stage index; tuned on v5e (NOTES.md).
-_FUSED_STAGE_TILES = {2: (4, 1), 3: (1, 1)}
+_FUSED_STAGE_TILES = {2: (3, 1), 3: (1, 1)}
 # test hook: allow the fused stages under the CPU interpreter
 _FUSED_ON_CPU = False
 

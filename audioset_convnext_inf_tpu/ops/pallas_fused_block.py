@@ -52,7 +52,8 @@ def _use_interpret() -> bool:
 
 def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, g_ref, out_ref, xin, sbuf, sem,
-            *, HT, W, WCH, Cp, C, n_h, eps, mrows, streams="both"):
+            *, HT, W, WCH, Cp, C, n_h, eps, mrows, streams="both",
+            padless=False):
     bg = pl.program_id(0)
     i = pl.program_id(1)
     n_bg = pl.num_programs(0)
@@ -63,26 +64,90 @@ def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
     # are provably distinct - including across batch-group boundaries.
     t = bg * n_h + i
 
-    def dma(tile, slot):
-        b = tile // n_h
-        h = tile - b * n_h
-        return pltpu.make_async_copy(
-            x_any.at[pl.ds(h * HT, HT + 2 * P), :, b], xin.at[slot], sem.at[slot])
+    if padless:
+        # The input array carries NO halo margins (the per-block jnp.pad
+        # cost a full-array copy). Requires HT | H, HT >= P, n_h >= 2: the three
+        # tile classes then all have STATIC DMA shapes - first tile fetches
+        # rows [0, HT+P) into scratch offset P, last fetches [h0-P, H) into
+        # offset 0, interior fetches [h0-P, h0+HT+P) into offset 0 - and
+        # the scratch rows/cols not covered (H-boundary halo, W margins)
+        # are zeroed in-kernel. Center rows land at scratch offset P in all
+        # three classes, so stencil/residual indexing is unchanged.
+        def _for_each_class(tile, slot, op):
+            """Build the tile class's copy inside its own predicated region
+            (constructing unused descriptors logs spurious warnings)."""
+            b = tile // n_h
+            h = tile - b * n_h
+            dst = xin.at[slot]
+
+            @pl.when(h == 0)
+            def _():
+                op(pltpu.make_async_copy(
+                    x_any.at[pl.ds(0, HT + P), :, b],
+                    dst.at[pl.ds(P, HT + P), pl.ds(P, W)], sem.at[slot]))
+
+            @pl.when(h == n_h - 1)
+            def _():
+                op(pltpu.make_async_copy(
+                    x_any.at[pl.ds(h * HT - P, HT + P), :, b],
+                    dst.at[pl.ds(0, HT + P), pl.ds(P, W)], sem.at[slot]))
+
+            @pl.when(jnp.logical_and(h > 0, h < n_h - 1))
+            def _():
+                op(pltpu.make_async_copy(
+                    x_any.at[pl.ds(h * HT - P, HT + 2 * P), :, b],
+                    dst.at[pl.ds(0, HT + 2 * P), pl.ds(P, W)], sem.at[slot]))
+            return tile - (tile // n_h) * n_h
+
+        def dma_start(tile, slot):
+            _for_each_class(tile, slot, lambda c: c.start())
+
+        def dma_wait(tile, slot):
+            h = _for_each_class(tile, slot, lambda c: c.wait())
+
+            # zero the rows the boundary DMAs do not cover
+            @pl.when(h == 0)
+            def _():
+                xin[slot, 0:P] = jnp.zeros_like(xin[slot, 0:P])
+
+            @pl.when(h == n_h - 1)
+            def _():
+                xin[slot, HT + P:] = jnp.zeros_like(xin[slot, HT + P:])
+
+            # W margins: zeroed once per ring slot (slots are first used at
+            # global steps 0, 1, 2 and the margins are never re-written)
+            @pl.when(t < 3)
+            def _():
+                xin[slot, :, 0:P] = jnp.zeros_like(xin[slot, :, 0:P])
+                xin[slot, :, P + W:] = jnp.zeros_like(xin[slot, :, P + W:])
+    else:
+        def _padded_dma(tile, slot):
+            b = tile // n_h
+            h = tile - b * n_h
+            return pltpu.make_async_copy(
+                x_any.at[pl.ds(h * HT, HT + 2 * P), :, b], xin.at[slot],
+                sem.at[slot])
+
+        def dma_start(tile, slot):
+            _padded_dma(tile, slot).start()
+
+        def dma_wait(tile, slot):
+            _padded_dma(tile, slot).wait()
 
     # Warm-up fetch for the very first tile; later tiles are prefetched one
     # step ahead (including across batch-group boundaries: tile (bg+1, 0) is
     # started at step (bg, n_h - 1) and waited two steps later).
     @pl.when(jnp.logical_and(bg == 0, i == 0))
     def _():
-        dma(0, 0).start()
+        dma_start(0, 0)
 
     @pl.when(i < n_h)
     def _():
-        dma(t, t % 3).wait()
+        dma_wait(t, t % 3)
 
     @pl.when(jnp.logical_and(i < n_h, t + 1 < n_bg * n_h))
     def _():
-        dma(t + 1, (t + 1) % 3).start()
+        dma_start(t + 1, (t + 1) % 3)
 
     # ---------------- VPU stream: 7x7 depthwise stencil of tile i ----------
     # Register-window formulation: per (h, w-chunk, dy) load the (n+6)-wide
@@ -199,8 +264,18 @@ def fused_block_hwbc(
     assert ht % mrows == 0, (ht, mrows)
 
     dt = x.dtype
-    xp = jnp.pad(x, ((P, P + Hp - H), (P, P), (0, 0), (0, 0)))
-    xp = xp.reshape(Hp + 2 * P, Wp, BG, SUB, Cp)
+    # When the tile height divides H (and there are >= 2 tiles), the kernel
+    # fetches halos with boundary-aware DMAs and zeroes the margins itself,
+    # so the input needs NO jnp.pad - which would copy the whole array per
+    # block (~2.8 ms/model at B=128). Ragged shapes keep the padded path.
+    # ht >= P keeps every interior tile's halo inside its neighbors' rows
+    # (ht < P would need a source offset before row 0)
+    padless = H % ht == 0 and H // ht >= 2 and ht >= P
+    if padless:
+        xp = x.reshape(H, W, BG, SUB, Cp)  # pure view
+    else:
+        xp = jnp.pad(x, ((P, P + Hp - H), (P, P), (0, 0), (0, 0)))
+        xp = xp.reshape(Hp + 2 * P, Wp, BG, SUB, Cp)
 
     def padc(a):
         return jnp.pad(jnp.asarray(a, jnp.float32), ((0, pc),))
@@ -216,7 +291,8 @@ def fused_block_hwbc(
 
     out = pl.pallas_call(
         functools.partial(_kernel, HT=ht, W=W, WCH=wch, Cp=Cp, C=C, n_h=n_h,
-                          eps=eps, mrows=mrows, streams=streams),
+                          eps=eps, mrows=mrows, streams=streams,
+                          padless=padless),
         grid=(BG, n_h + 1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
