@@ -290,13 +290,21 @@ def forward_features(
             else:
                 x = L.layer_norm(x, d["norm"]["scale"], d["norm"]["bias"], cfg.ln_eps)
                 x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
-        if fused_stages and i in _FUSED_STAGE_TILES and cfg.dims[i] % 128 == 0:
+        if fused_stages and i in _FUSED_STAGE_TILES:
             if not hwbc:
                 x = jnp.transpose(x, (1, 2, 0, 3))  # NHWC -> HWBC
                 hwbc = True
+            # non-128-multiple widths run zero-padded lanes through the whole
+            # stage (padded once here; the kernel preserves exact-zero pads)
+            c_real = cfg.dims[i]
+            cp = -(-c_real // 128) * 128
+            if x.shape[-1] < cp:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - x.shape[-1])))
             ht, mrows = _FUSED_STAGE_TILES[i]
             for block in params["stages"][i]:
                 x = _fused_block(x, block, cfg.ln_eps, ht, mrows)
+            if cp > c_real:
+                x = x[..., :c_real]
         else:
             if hwbc:
                 x = jnp.transpose(x, (2, 0, 1, 3))  # HWBC -> NHWC
