@@ -54,6 +54,21 @@ class Evaluator:
             return out["clipwise_output"]
 
         self._sharding = batch_sharding(self.mesh)
+        if self.mesh.size > 1:
+            # Multi-device: run the forward under shard_map over the data
+            # axis, so each device executes the whole model - including the
+            # fused Pallas stages, for which GSPMD has no partitioning rule
+            # (an unwrapped Mosaic custom call would be fully replicated or
+            # fail to partition) - on its LOCAL batch shard. There are no
+            # collectives inside: eval is per-sample independent.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            _forward = shard_map(
+                _forward, mesh=self.mesh,
+                in_specs=(P(), P("data")), out_specs=P("data"),
+                check_vma=False,
+            )
         # shardings come from the device_put inputs; explicit jit
         # in_shardings runs ~60x slower through the remote-relay backend
         self._forward = jax.jit(_forward)

@@ -46,8 +46,17 @@ class ConvNeXt:
             # polynomial alone costs ~45% of forward time on the VPU. Pass
             # auto_fast_serving=False to keep exact-erf "xla" under bf16
             # (e.g. to separate bf16-rounding from GELU-flavor effects).
+            # An explicitly-passed block_impl="xla" is indistinguishable from
+            # the dataclass default here, so say what happened out loud.
             import dataclasses
+            import warnings
 
+            warnings.warn(
+                "bf16 serving: block_impl 'xla' auto-switched to 'xla_approx' "
+                "(tanh GELU); pass auto_fast_serving=False to keep exact-erf "
+                "'xla' under bf16.",
+                stacklevel=2,
+            )
             cfg = dataclasses.replace(cfg, block_impl="xla_approx")
         self.cfg = cfg
         self.params = params

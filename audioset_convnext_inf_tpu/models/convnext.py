@@ -219,7 +219,8 @@ def _downsample_hwbc(x: Array, p: Params, eps: float) -> Array:
     return L.linear(x, w.reshape(4 * C, -1), p["conv"]["b"])
 
 
-def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int) -> Array:
+def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int,
+                 wch: int = 4) -> Array:
     from audioset_convnext_inf_tpu.ops.pallas_fused_block import fused_block_hwbc
 
     return fused_block_hwbc(
@@ -228,11 +229,11 @@ def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int) -> Array:
         p["norm"]["scale"], p["norm"]["bias"],
         p["pwconv1"]["w"], p["pwconv1"]["b"],
         p["pwconv2"]["w"], p["pwconv2"]["b"],
-        p.get("gamma"), eps=eps, ht=ht, mrows=mrows,
+        p.get("gamma"), eps=eps, ht=ht, mrows=mrows, wch=wch,
     )
 
 
-# (ht, mrows) per fused stage index; tuned on v5e (NOTES.md).
+# (ht, mrows[, wch]) per fused stage index; tuned on v5e (NOTES.md).
 _FUSED_STAGE_TILES = {2: (3, 1), 3: (1, 1)}
 # test hook: allow the fused stages under the CPU interpreter
 _FUSED_ON_CPU = False
@@ -300,9 +301,11 @@ def forward_features(
             cp = -(-c_real // 128) * 128
             if x.shape[-1] < cp:
                 x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - x.shape[-1])))
-            ht, mrows = _FUSED_STAGE_TILES[i]
+            tile = _FUSED_STAGE_TILES[i]
+            ht, mrows = tile[0], tile[1]
+            wch = tile[2] if len(tile) > 2 else 4
             for block in params["stages"][i]:
-                x = _fused_block(x, block, cfg.ln_eps, ht, mrows)
+                x = _fused_block(x, block, cfg.ln_eps, ht, mrows, wch)
             if cp > c_real:
                 x = x[..., :c_real]
         else:

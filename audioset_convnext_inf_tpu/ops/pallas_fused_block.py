@@ -53,7 +53,9 @@ def _use_interpret() -> bool:
 def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, g_ref, out_ref, xin, sbuf, sem,
             *, HT, W, WCH, Cp, C, n_h, eps, mrows, streams="both",
-            padless=False):
+            padless=False, HT_LAST=None):
+    if HT_LAST is None:
+        HT_LAST = HT
     bg = pl.program_id(0)
     i = pl.program_id(1)
     n_bg = pl.num_programs(0)
@@ -66,13 +68,17 @@ def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
 
     if padless:
         # The input array carries NO halo margins (the per-block jnp.pad
-        # cost a full-array copy). Requires HT | H, HT >= P, n_h >= 2: the three
-        # tile classes then all have STATIC DMA shapes - first tile fetches
-        # rows [0, HT+P) into scratch offset P, last fetches [h0-P, H) into
-        # offset 0, interior fetches [h0-P, h0+HT+P) into offset 0 - and
-        # the scratch rows/cols not covered (H-boundary halo, W margins)
-        # are zeroed in-kernel. Center rows land at scratch offset P in all
-        # three classes, so stencil/residual indexing is unchanged.
+        # cost a full-array copy). Requires HT >= P, n_h >= 2 and a last
+        # tile of HT_LAST = H - (n_h-1)*HT >= P rows (HT_LAST == HT when
+        # HT | H): the three tile classes then all have STATIC DMA shapes -
+        # first tile fetches rows [0, HT+P) into scratch offset P, last
+        # fetches [h0-P, H) (= HT_LAST+P rows) into offset 0, interior
+        # fetches [h0-P, h0+HT+P) into offset 0 - and the scratch rows/cols
+        # not covered (H-boundary halo, W margins) are zeroed in-kernel.
+        # Center rows land at scratch offset P in all three classes, so
+        # stencil/residual indexing is unchanged. When HT_LAST < HT the last
+        # tile's trailing stencil/tail rows consume zeroed scratch and land
+        # in output rows >= H, which the caller slices off.
         def _for_each_class(tile, slot, op):
             """Build the tile class's copy inside its own predicated region
             (constructing unused descriptors logs spurious warnings)."""
@@ -89,8 +95,8 @@ def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
             @pl.when(h == n_h - 1)
             def _():
                 op(pltpu.make_async_copy(
-                    x_any.at[pl.ds(h * HT - P, HT + P), :, b],
-                    dst.at[pl.ds(0, HT + P), pl.ds(P, W)], sem.at[slot]))
+                    x_any.at[pl.ds(h * HT - P, HT_LAST + P), :, b],
+                    dst.at[pl.ds(0, HT_LAST + P), pl.ds(P, W)], sem.at[slot]))
 
             @pl.when(jnp.logical_and(h > 0, h < n_h - 1))
             def _():
@@ -112,7 +118,7 @@ def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
 
             @pl.when(h == n_h - 1)
             def _():
-                xin[slot, HT + P:] = jnp.zeros_like(xin[slot, HT + P:])
+                xin[slot, HT_LAST + P:] = jnp.zeros_like(xin[slot, HT_LAST + P:])
 
             # W margins: zeroed once per ring slot (slots are first used at
             # global steps 0, 1, 2 and the margins are never re-written)
@@ -264,13 +270,16 @@ def fused_block_hwbc(
     assert ht % mrows == 0, (ht, mrows)
 
     dt = x.dtype
-    # When the tile height divides H (and there are >= 2 tiles), the kernel
-    # fetches halos with boundary-aware DMAs and zeroes the margins itself,
-    # so the input needs NO jnp.pad - which would copy the whole array per
-    # block (~2.8 ms/model at B=128). Ragged shapes keep the padded path.
-    # ht >= P keeps every interior tile's halo inside its neighbors' rows
-    # (ht < P would need a source offset before row 0)
-    padless = H % ht == 0 and H // ht >= 2 and ht >= P
+    # With >= 2 tiles and a last tile of >= P rows, the kernel fetches halos
+    # with boundary-aware DMAs and zeroes the margins itself, so the input
+    # needs NO jnp.pad - which would copy the whole array per block
+    # (~2.8 ms/model at B=128). A ragged last tile (H % ht != 0) is fine:
+    # its DMA class has its own static shape and the trailing output rows
+    # (>= H) are computed from zeroed scratch and sliced off below.
+    # ht >= P keeps every interior tile's halo inside its neighbors' rows;
+    # ht_last >= P keeps the second-to-last tile's lower halo inside H.
+    ht_last = H - (n_h - 1) * ht
+    padless = n_h >= 2 and ht >= P and ht_last >= P
     if padless:
         xp = x.reshape(H, W, BG, SUB, Cp)  # pure view
     else:
@@ -292,7 +301,7 @@ def fused_block_hwbc(
     out = pl.pallas_call(
         functools.partial(_kernel, HT=ht, W=W, WCH=wch, Cp=Cp, C=C, n_h=n_h,
                           eps=eps, mrows=mrows, streams=streams,
-                          padless=padless),
+                          padless=padless, HT_LAST=ht_last if padless else ht),
         grid=(BG, n_h + 1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),

@@ -72,6 +72,37 @@ def test_fused_block_matches_composed_math(rng, shape, cp, ht, mrows):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5)
 
 
+@pytest.mark.parametrize(
+    "shape,ht",
+    [
+        ((31, 7, 16, 128), 4),   # stage-4 geometry: ragged padless, ht_last=3
+        ((11, 5, 16, 128), 4),   # n_h=3, ht_last=3 (minimum ragged tail)
+        ((15, 4, 32, 96), 6),    # ht_last=3 with C-padding + 2 batch groups
+    ],
+)
+def test_fused_block_ragged_padless(rng, shape, ht):
+    """H % ht != 0 with ht_last >= P takes the padless boundary-DMA path
+    (verified by construction: n_h >= 2, ht >= P, ht_last >= P) and must
+    still match the composed math - the trailing output rows computed from
+    zeroed scratch are sliced off."""
+    h, w, b, c = shape
+    cp = -(-c // 128) * 128
+    assert h % ht != 0 and h - (h // ht) * ht >= P  # really ragged-padless
+    p = _block_params(rng, c)
+    x = jnp.asarray(rng.randn(h, w, b, c) * 0.5, jnp.float32)
+    xh = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp - c)))
+    y = fused_block_hwbc(
+        xh, p["dw_w"], p["dw_b"], p["ln_scale"], p["ln_bias"],
+        p["w1"], p["b1"], p["w2"], p["b2"], p["gamma"], ht=ht, mrows=1)
+    assert y.shape == (h, w, b, cp)
+    if cp > c:
+        assert float(jnp.max(jnp.abs(y[..., c:]))) == 0.0
+    ref = _reference_block(jnp.transpose(x, (2, 0, 1, 3)), p)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(y[..., :c], (2, 0, 1, 3))),
+        np.asarray(ref), atol=3e-5)
+
+
 def test_fused_block_no_gamma(rng):
     h, w, b, c = 8, 5, 16, 128
     p = _block_params(rng, c)
@@ -112,7 +143,9 @@ def test_forward_features_fused_stages_match_unfused(rng, monkeypatch):
 
 
 def test_forward_features_fused_gates(rng, monkeypatch):
-    """Batches not divisible by 16 and dims not divisible by 128 fall back."""
+    """Batches not divisible by 16 fall back to the XLA path; dims not
+    divisible by 128 do NOT fall back - they run the fused kernel with
+    zero-padded channel lanes and must match the unfused path in value."""
     from audioset_convnext_inf_tpu.config import ConvNeXtConfig
     from audioset_convnext_inf_tpu.models import convnext as F
 
@@ -125,12 +158,32 @@ def test_forward_features_fused_gates(rng, monkeypatch):
     y = F.forward_features(x, params, cfg)  # B=3: must not hit the kernel
     assert y.shape == (3, 256)
 
+    # dims % 128 != 0: the fused stages run channel-padded. Verify the fused
+    # path is actually taken (fused_block_hwbc called) and matches unfused.
     cfg2 = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(24, 48, 96, 192),
                           drop_path_rate=0.0, block_impl="pallas")
     params2 = F.init_params(jax.random.PRNGKey(0), cfg2)
-    y2 = F.forward_features(jnp.asarray(rng.randn(16, 120, 56, 1), jnp.float32),
-                            params2, cfg2)  # dims % 128 != 0: fall back
+    x2 = jnp.asarray(rng.randn(16, 120, 56, 1), jnp.float32)
+
+    from audioset_convnext_inf_tpu.ops import pallas_fused_block as PFB
+
+    calls = []
+    orig = PFB.fused_block_hwbc
+
+    def counting(*a, **kw):
+        calls.append(a[0].shape)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(PFB, "fused_block_hwbc", counting)
+    y2 = F.forward_features(x2, params2, cfg2)
     assert y2.shape == (16, 192)
+    assert len(calls) == len(F._FUSED_STAGE_TILES)  # fused path really taken
+    assert all(s[-1] % 128 == 0 for s in calls)  # with padded channel lanes
+
+    with monkeypatch.context() as m:
+        m.setattr(F, "_FUSED_STAGE_TILES", {})
+        y2_unfused = F.forward_features(x2, params2, cfg2)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y2_unfused), atol=5e-5)
 
 
 def test_bf16_serving_config_defaults():
