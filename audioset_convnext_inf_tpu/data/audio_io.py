@@ -126,3 +126,42 @@ def read_wav(path: str, target_sr: int | None = None, mono: bool = True) -> Tupl
         x = resample_poly(x, sr, target_sr)
         sr = target_sr
     return x, sr
+
+
+def read_flac(path: str, target_sr: int | None = None, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Read a FLAC file -> (float32 waveform in [-1, 1), sample_rate).
+
+    The reference reads AudioSet clips from .flac via libsndfile
+    (utils/dataset.py:202); this image ships neither libsndfile nor ffmpeg,
+    so decode runs in the first-party native decoder
+    (native/flac_decode.cpp, CRC-verified). Raises on malformed streams -
+    there is no softer fallback to fall to.
+    """
+    from audioset_convnext_inf_tpu.utils import native
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    decoded = native.decode_flac_bytes(raw, mono=mono)
+    if decoded is None:
+        raise ValueError(
+            f"cannot decode FLAC {path!r}: native decoder unavailable or "
+            "stream malformed/unsupported"
+        )
+    x, sr = decoded
+    if target_sr is not None and sr != target_sr:
+        x = resample_poly(x, sr, target_sr)
+        sr = target_sr
+    return x, sr
+
+
+def read_audio(path: str, target_sr: int | None = None, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Read WAV or FLAC by content magic (extension as tiebreaker).
+
+    The packing flow (data/pack.py, reference dataset.py:202) sees .flac
+    AudioSet clips and .wav everywhere else; this is the single entry point.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        return read_flac(path, target_sr=target_sr, mono=mono)
+    return read_wav(path, target_sr=target_sr, mono=mono)

@@ -18,7 +18,7 @@ from audioset_convnext_inf_tpu.config import CLIP_SAMPLES, NUM_CLASSES, SAMPLE_R
 from audioset_convnext_inf_tpu.data.audio_io import (
     float32_to_int16,
     pad_or_truncate,
-    read_wav,
+    read_audio,
 )
 from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
 
@@ -92,7 +92,7 @@ def pack_waveforms_to_hdf5(
         hf.create_dataset("target", shape=(n, targets.shape[1]), dtype=bool)
         hf.attrs.create("sample_rate", data=sample_rate, dtype=np.int32)
         for i, name in enumerate(audio_names):
-            audio, _ = read_wav(os.path.join(audios_dir, name), target_sr=sample_rate)
+            audio, _ = read_audio(os.path.join(audios_dir, name), target_sr=sample_rate)
             audio = pad_or_truncate(audio, clip_samples)
             hf["audio_name"][i] = name.encode()
             hf["waveform"][i] = float32_to_int16(audio)

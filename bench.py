@@ -91,6 +91,22 @@ def main() -> None:
     clips_per_sec = b / dt
     per_chip = clips_per_sec / n_chips
     baseline_per_chip = 5000.0 / 8.0
+
+    # MFU diagnostic (round-2 VERDICT): XLA cost analysis FLOPs of the step
+    # vs v5e bf16 peak (197 TF/s/chip; measured big-GEMM ceiling is ~93% of
+    # that, NOTES.md). A VPU-bound depthwise model cannot approach 1.0 -
+    # report it anyway so rounds track it.
+    mfu = gflops_per_clip = None
+    if args.dtype == "bfloat16":
+        try:
+            from audioset_convnext_inf_tpu.utils.profiling import count_flops
+
+            flops = count_flops(step, params, wav).get("flops")
+            if flops:
+                gflops_per_clip = flops / b / 1e9
+                mfu = flops / b * per_chip / 197e12
+        except Exception:
+            pass
     print(
         json.dumps(
             {
@@ -106,6 +122,8 @@ def main() -> None:
                     "block_impl": block_impl,
                     "frontend_precision": fe_precision,
                     "iters": args.iters,
+                    "gflops_per_clip": round(gflops_per_clip, 1) if gflops_per_clip else None,
+                    "mfu_vs_bf16_peak": round(mfu, 3) if mfu else None,
                 },
             }
         )
