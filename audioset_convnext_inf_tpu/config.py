@@ -44,9 +44,9 @@ class FrontendConfig:
     top_db: Optional[float] = None
     center: bool = True
     pad_mode: str = "reflect"
-    # Implementation selector: "xla" = framing + GEMM-DFT in plain JAX,
-    # "pallas" = fused Pallas kernel (frames->DFT->power->mel->log in VMEM).
-    impl: str = "xla"
+    # The frontend runs as framing + GEMM-DFT in plain XLA. A fused Pallas
+    # frontend kernel was built and measured SLOWER than XLA's GEMM pipeline
+    # (round 1-2 negative result, NOTES.md) and deleted in round 3.
     # Matmul precision of the DFT/mel GEMMs: "highest" = true f32 (parity
     # with torchlibrosa, ~1e-4 dB error), "high" = bf16x3 passes (~2x
     # faster, error still below bf16-trunk rounding except in near-silent

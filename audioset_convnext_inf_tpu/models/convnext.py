@@ -233,8 +233,10 @@ def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int,
     )
 
 
-# (ht, mrows[, wch]) per fused stage index; tuned on v5e (NOTES.md).
-_FUSED_STAGE_TILES = {2: (3, 1), 3: (1, 1)}
+# (ht, mrows[, wch]) per fused stage index; tuned on v5e (NOTES.md). wch is
+# the stencil w-chunk: one (wch+6)-wide window load serves wch output
+# columns, so wide chunks amortize halo reloads (W=14 -> one chunk/row).
+_FUSED_STAGE_TILES = {2: (3, 1, 14), 3: (1, 1, 7)}
 # test hook: allow the fused stages under the CPU interpreter
 _FUSED_ON_CPU = False
 

@@ -18,9 +18,9 @@ Design notes (TPU-first):
  - All constants (window-scaled DFT bases, mel matrix) are precomputed in
    float64 numpy then cast, matching torchlibrosa/librosa numerics.
 
-A fused Pallas kernel with identical semantics lives in
-``ops.pallas_frontend``; this module is the reference implementation and the
-fallback on CPU.
+This XLA GEMM pipeline IS the production frontend: a fused Pallas frontend
+kernel was built and measured slower (rounds 1-2 negative result, NOTES.md
+"Negative results"), so it was deleted in round 3.
 """
 
 from __future__ import annotations
@@ -388,15 +388,6 @@ class LogMelFrontend:
         )
 
     def __call__(self, waveform: jnp.ndarray, affine=None) -> jnp.ndarray:
-        if self.cfg.impl == "pallas":
-            from audioset_convnext_inf_tpu.ops.pallas_frontend import (
-                fused_log_mel_spectrogram,
-            )
-
-            return fused_log_mel_spectrogram(
-                waveform, self.cfg, self.mel_weights,
-                compute_dtype=self.compute_dtype, affine=affine,
-            )
         return log_mel_spectrogram(
             waveform, self.cfg, self.mel_weights,
             compute_dtype=self.compute_dtype, affine=affine,

@@ -205,8 +205,11 @@ def test_bf16_serving_config_defaults():
     assert m3.cfg.block_impl == "xla"
 
     assert set(F._FUSED_STAGE_TILES) == {2, 3}
-    for ht, mrows in F._FUSED_STAGE_TILES.values():
+    for tile in F._FUSED_STAGE_TILES.values():
+        ht, mrows = tile[0], tile[1]
         assert ht % mrows == 0
+        if len(tile) > 2:
+            assert tile[2] >= 1  # wch (stencil w-chunk)
 
 
 def test_fused_block_single_tile(rng):
