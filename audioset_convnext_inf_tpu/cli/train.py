@@ -54,6 +54,11 @@ def main(argv=None) -> int:
                         help="block tail: 'xla' = exact erf GELU (reference "
                              "training recipe); 'xla_approx' = tanh GELU, "
                              "~1.3x faster end-to-end (deviation <=1.1e-3)")
+    parser.add_argument("--remat-blocks", action="store_true",
+                        help="rematerialize blocks in the backward "
+                             "(jax.checkpoint): fits batch >= 512 waveforms "
+                             "within v5e HBM at the cost of ~1 extra block "
+                             "forward per backward")
     args = parser.parse_args(argv)
 
     import jax
@@ -96,6 +101,7 @@ def main(argv=None) -> int:
         use_roll_augment=args.use_roll_augment,
         seed=args.seed,
         block_impl=args.block_impl,
+        remat_blocks=args.remat_blocks,
     )
     cfg = model.cfg
     params = model.params

@@ -130,6 +130,12 @@ class ConvNeXtConfig:
     #    "xla_approx" for serving - XLA fuses the tanh tail better than the
     #    kernel at stage-1/2 widths - but kept for the trainable fused tail
     block_impl: str = "xla"
+    # Training-only: rematerialize each ConvNeXt block in the backward
+    # (jax.checkpoint) instead of keeping its dwconv/LN/GELU activations.
+    # HBM, not compute, caps the training batch (B=512 waveforms OOMs at
+    # 26.5/15.75 GB without it - NOTES.md); remat trades ~1 extra block
+    # forward per backward for fitting 2-3x the batch. No effect at eval.
+    remat_blocks: bool = False
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 

@@ -314,9 +314,14 @@ def forward_features(
             if hwbc:
                 x = jnp.transpose(x, (2, 0, 1, 3))  # HWBC -> NHWC
                 hwbc = False
+            blk = _block_apply
+            if cfg.remat_blocks and train_key is not None:
+                # recompute the block in the backward instead of storing its
+                # dwconv/LN/GELU activations; eps/drop_prob/impl are static
+                blk = jax.checkpoint(_block_apply, static_argnums=(2, 3, 5))
             for j, block in enumerate(params["stages"][i]):
                 k = block_keys[cur + j] if train_key is not None else None
-                x = _block_apply(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k, block_impl)
+                x = blk(x, block, cfg.ln_eps, float(dp_rates[cur + j]), k, block_impl)
         cur += cfg.depths[i]
 
     if return_frame_embeddings:

@@ -92,6 +92,26 @@ def test_grad_accumulation_equivalence(rng):
     )
 
 
+def test_remat_blocks_equivalence(rng):
+    """remat_blocks only changes WHERE activations come from in the backward
+    (recompute vs store); the step must produce identical loss and params."""
+    import dataclasses
+
+    cfg = _tiny_cfg()
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    tc = TrainConfig(max_lr=1e-3, total_steps=100, mixup_alpha=1.0, seed=7)
+    wav, target = _batch(rng, b=8)
+
+    results = []
+    for remat in (False, True):
+        c = dataclasses.replace(cfg, remat_blocks=remat)
+        tr = Trainer(c, tc, jax.tree_util.tree_map(jnp.array, params))
+        loss = tr.step(wav, target)
+        results.append((loss, np.asarray(tr.state.params["head"]["w"])))
+    np.testing.assert_allclose(results[0][0], results[1][0], rtol=1e-6)
+    np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-6)
+
+
 def test_checkpoint_resume_exact(tmp_path, rng):
     from audioset_convnext_inf_tpu.checkpoint import load_checkpoint, save_checkpoint
 
