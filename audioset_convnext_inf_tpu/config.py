@@ -52,11 +52,14 @@ class FrontendConfig:
     # faster, error still below bf16-trunk rounding except in near-silent
     # bins). Applies to the XLA implementation.
     precision: str = "highest"
-    # DFT algorithm: "direct" = one (n_fft, n_fft//2+1) GEMM pair; "ct" =
-    # two-stage Cooley-Tukey GEMM-DFT (n_fft = P*Q: Q-point inner DFTs,
-    # twiddle, P-point outer DFTs - ~7x fewer FLOPs at n_fft=1024, same
-    # math; the frequency reorder folds into the mel matrix for free).
-    dft_impl: str = "direct"
+    # DFT algorithm: "conv" (default) = the windowed-DFT contraction as one
+    # strided 1-D conv over hop-sized blocks (implicit framing: no
+    # hop-shifted frame copies materialize, ~1 ms faster at B=128 AND
+    # slightly more accurate than "direct" - 5.99e-4 vs 6.56e-4 max dB err
+    # against f64); "direct" = frame + one (n_fft, n_fft//2+1) GEMM pair;
+    # "ct" = two-stage Cooley-Tukey GEMM-DFT (n_fft = P*Q - ~7x fewer
+    # FLOPs, measured slower on TPU, kept as the accuracy reference).
+    dft_impl: str = "conv"
 
     @property
     def freq_bins(self) -> int:
