@@ -59,6 +59,13 @@ def main(argv=None) -> int:
                              "(jax.checkpoint): fits batch >= 512 waveforms "
                              "within v5e HBM at the cost of ~1 extra block "
                              "forward per backward")
+    parser.add_argument("--frontend-precision", default=None,
+                        choices=["highest", "high"],
+                        help="DFT/mel matmul precision; default 'high' "
+                             "(bf16x3, ~15 ms/step faster at B=256) with "
+                             "--bf16 whose trunk rounding exceeds the "
+                             "residual DFT error, else 'highest' (true-f32 "
+                             "parity recipe)")
     args = parser.parse_args(argv)
 
     import jax
@@ -92,6 +99,9 @@ def main(argv=None) -> int:
         config=vars(args),
     ) if is_primary() else None
 
+    from audioset_convnext_inf_tpu.config import FrontendConfig
+
+    fe_precision = args.frontend_precision or ("high" if args.bf16 else "highest")
     model = create_model(
         args.model,
         drop_path_rate=args.drop_path_rate,
@@ -102,6 +112,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         block_impl=args.block_impl,
         remat_blocks=args.remat_blocks,
+        frontend=FrontendConfig(precision=fe_precision),
     )
     cfg = model.cfg
     params = model.params

@@ -286,14 +286,15 @@ def forward_features(
         if i == 0:
             x = _stem_conv(x, params["stem"]["conv"], cfg)
             x = L.layer_norm(x, params["stem"]["norm"]["scale"], params["stem"]["norm"]["bias"], cfg.ln_eps)
-            if train_key is None:
-                # Materialize the stem-LN output: without the barrier XLA
-                # sinks the f32 LN application into the first block's 7x7
-                # dwconv fusion, where the stencil's overlapping window
-                # reads recompute it many times (profiled 8.5 vs 5.3 ms for
-                # that fusion; whole model 82.6 -> 80.4 ms at B=128). The
-                # barrier is numerically an identity.
-                x = jax.lax.optimization_barrier(x)
+            # Materialize the stem-LN output: without the barrier XLA sinks
+            # the f32 LN application into the first block's 7x7 dwconv
+            # fusion, where the stencil's overlapping window reads recompute
+            # it many times (profiled 8.5 vs 5.3 ms for that fusion; whole
+            # model 82.6 -> 80.4 ms at B=128 eval, ~3 ms on the train step -
+            # the same fusion signature shows up in the training forward).
+            # The barrier is numerically an identity, and differentiates as
+            # one (it is the same primitive jax.checkpoint builds on).
+            x = jax.lax.optimization_barrier(x)
         else:
             d = params["downsample"][i - 1]
             if hwbc:

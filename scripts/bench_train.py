@@ -35,6 +35,11 @@ def main() -> None:
     ap.add_argument("--no-mixup", action="store_true")
     ap.add_argument("--block-impl", default="xla_approx",
                     choices=["xla_approx", "xla", "pallas"])
+    ap.add_argument("--frontend-precision", default="high",
+                    choices=["highest", "high"],
+                    help="DFT/mel matmul precision; 'high' (bf16x3) is the "
+                         "bf16-training default, 'highest' the f32 parity "
+                         "recipe")
     args = ap.parse_args()
 
     import jax
@@ -48,8 +53,14 @@ def main() -> None:
     from audioset_convnext_inf_tpu.models import convnext as F
 
     mixup_alpha = 0.0 if args.no_mixup else 1.0
+    from audioset_convnext_inf_tpu.config import FrontendConfig
+
+    # bf16 training pairs with frontend precision "high" (bf16x3): its
+    # residual DFT error sits below the bf16 trunk's own rounding and the
+    # B-waveform frontend at "highest" costs ~15 ms/step at B=256
     cfg = ConvNeXtConfig(drop_path_rate=0.1, block_impl=args.block_impl,
-                         remat_blocks=args.remat)
+                         remat_blocks=args.remat,
+                         frontend=FrontendConfig(precision=args.frontend_precision))
     params = F.init_params(jax.random.PRNGKey(0), cfg)
     trainer = Trainer(
         cfg,
@@ -92,6 +103,7 @@ def main() -> None:
             "mixup": mixup_alpha > 0,
             "remat_blocks": args.remat,
             "block_impl": args.block_impl,
+            "frontend_precision": args.frontend_precision,
             "iters": args.iters,
         },
     }))
