@@ -151,6 +151,9 @@ def main(argv=None) -> int:
         trainer.restore(ck["params"], ck["opt_state"], ck["iteration"])
         if ck.get("sampler_state") is not None:
             sampler.load_state_dict(ck["sampler_state"])
+            # a checkpoint written before the first post-resume step must
+            # re-save the same snapshot, not the prefetch-advanced live state
+            trainer.last_sampler_state = ck["sampler_state"]
         try:
             statistics.load_state_dict(args.resume_iteration)
         except FileNotFoundError:
@@ -195,12 +198,16 @@ def main(argv=None) -> int:
     def checkpoint_fn(tr, iteration):
         if not is_primary():
             return
+        # the loader prefetches ahead of training, so the live sampler's
+        # state is past the consumed data; the trainer tracks the snapshot
+        # shipped with the last consumed batch (exact-resume contract)
+        state = tr.last_sampler_state
         save_checkpoint(
             os.path.join(ckpt_root, f"{iteration}_iterations"),
             tr.state.params,
             cfg,
             opt_state=tr.state.opt_state,
-            sampler_state=sampler.state_dict(),
+            sampler_state=state if state is not None else sampler.state_dict(),
             iteration=iteration,
         )
         logging.info("checkpoint saved at iteration %d", iteration)

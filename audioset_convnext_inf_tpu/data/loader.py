@@ -77,19 +77,34 @@ class DataLoader:
             return False
 
         def producer():
+            # The producer runs the sampler AHEAD of consumption (prefetch),
+            # so the sampler's live state_dict() does not correspond to the
+            # last batch the trainer consumed. Snapshot the state right
+            # after each draw and ship it with the batch: a checkpoint then
+            # saves the snapshot of the last *consumed* batch, and resume
+            # regenerates exactly the batches the restarted run never saw.
+            can_snapshot = hasattr(self.batch_sampler, "state_dict")
+
+            def finish(fut, state):
+                batch = fut.result()
+                if can_snapshot:
+                    batch["sampler_state"] = state
+                return batch
+
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     pending = []
                     for batch_meta in self.batch_sampler:
                         if stop.is_set():
                             return
-                        pending.append(pool.submit(self._load_batch, batch_meta))
+                        state = self.batch_sampler.state_dict() if can_snapshot else None
+                        pending.append((pool.submit(self._load_batch, batch_meta), state))
                         # bounded in-flight window preserves batch order
                         while len(pending) >= self.num_workers:
-                            if not put_or_stop(pending.pop(0).result()):
+                            if not put_or_stop(finish(*pending.pop(0))):
                                 return
-                    for fut in pending:
-                        if not put_or_stop(fut.result()):
+                    for fut_state in pending:
+                        if not put_or_stop(finish(*fut_state)):
                             return
             except Exception as e:  # surface worker errors to the consumer
                 put_or_stop(e)

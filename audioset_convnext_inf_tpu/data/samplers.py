@@ -28,6 +28,21 @@ def read_black_list(black_list_csv: str) -> List[str]:
         return [line[0] for line in csv.reader(fr)]
 
 
+def _rng_state(rs: np.random.RandomState) -> dict:
+    """MT19937 state as a plain dict (checkpoint-serializer friendly)."""
+    name, keys, pos, has_gauss, cached = rs.get_state()
+    return {"name": name, "keys": np.asarray(keys).copy(), "pos": int(pos),
+            "has_gauss": int(has_gauss), "cached_gaussian": float(cached)}
+
+
+def _restore_rng(rs: np.random.RandomState, state: Optional[dict]) -> None:
+    if state is None:  # pre-round-3 checkpoints carry no RNG; keep the seed
+        return
+    rs.set_state((str(state["name"]), np.asarray(state["keys"], np.uint32),
+                  int(state["pos"]), int(state["has_gauss"]),
+                  float(state["cached_gaussian"])))
+
+
 class _Base:
     def __init__(
         self,
@@ -87,12 +102,17 @@ class TrainSampler(_Base):
 
     def state_dict(self) -> dict:
         # copies, not views: the in-place epoch reshuffle must not mutate a
-        # captured state (the reference aliases here and relies on pickling)
-        return {"indexes": self.indexes.copy(), "pointer": self.pointer}
+        # captured state (the reference aliases here and relies on pickling).
+        # The RNG state makes resume exact across the epoch-wrap reshuffle -
+        # the reference omits it (data_generator.py:216-228) and silently
+        # reshuffles differently after resume.
+        return {"indexes": self.indexes.copy(), "pointer": self.pointer,
+                "rng": _rng_state(self.random_state)}
 
     def load_state_dict(self, state: dict) -> None:
         self.indexes = np.asarray(state["indexes"]).copy()
         self.pointer = state["pointer"]
+        _restore_rng(self.random_state, state.get("rng"))
 
 
 class BalancedTrainSampler(_Base):
@@ -142,16 +162,21 @@ class BalancedTrainSampler(_Base):
             yield batch_meta
 
     def state_dict(self) -> dict:
+        # includes the RNG state (queue refills + per-class reshuffles draw
+        # from it) so resume reproduces the exact batch stream; the
+        # reference omits it (data_generator.py:317-331)
         return {
             "indexes_per_class": [a.copy() for a in self.indexes_per_class],
             "queue": list(self.queue),
             "pointers_of_classes": list(self.pointers_of_classes),
+            "rng": _rng_state(self.random_state),
         }
 
     def load_state_dict(self, state: dict) -> None:
         self.indexes_per_class = [np.asarray(a).copy() for a in state["indexes_per_class"]]
         self.queue = list(state["queue"])
         self.pointers_of_classes = list(state["pointers_of_classes"])
+        _restore_rng(self.random_state, state.get("rng"))
 
 
 class AlternateTrainSampler:

@@ -217,6 +217,10 @@ class Trainer:
         self._step_fn = make_train_step(model_cfg, train_cfg, self.tx, self.mesh, loss_fn)
         self._key = jax.random.PRNGKey(train_cfg.seed)
         self._sharding = batch_sharding(self.mesh)
+        # sampler snapshot of the last consumed batch (set by train(); the
+        # loader runs the sampler ahead, so this - not the live sampler - is
+        # what a checkpoint must save for exact resume)
+        self.last_sampler_state = None
 
     def restore(self, params: Params, opt_state, step: int) -> None:
         """Adopt restored state with the constructor's device placement.
@@ -264,6 +268,9 @@ class Trainer:
         t0 = time.time()
         for batch in train_loader:
             it = self.state.step
+            # `batch` was already drawn from the (prefetching) loader, so a
+            # checkpoint taken HERE must carry the sampler snapshot of the
+            # previous batch - on resume the loader regenerates this one
             if it % eval_interval == 0 and eval_fn is not None and it > 0:
                 eval_fn(self.state.params, it)
             if it % checkpoint_interval == 0 and checkpoint_fn is not None and it > 0:
@@ -283,6 +290,7 @@ class Trainer:
                             checkpoint_fn(self, it)
                         raise
                     logging.exception("train step error at iter %d, retrying", it)
+            self.last_sampler_state = batch.get("sampler_state")
             if on_step is not None:
                 on_step(it, loss)
             if it % log_interval == 0:

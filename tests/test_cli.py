@@ -116,6 +116,65 @@ def test_train_cli_two_steps(tmp_path):
     assert state["sampler_state"] is not None
 
 
+def test_train_cli_resume_matches_straight_run(tmp_path):
+    """CLI-level exact resume (reference main.py --resume_iteration): train
+    4 steps straight vs 2 steps -> checkpoint -> new process-state resume ->
+    2 more; final params must be bit-identical (optimizer + sampler + augment
+    key stream all restored). Engine-level resume has its own test; this one
+    exercises the CLI wiring: checkpoint naming, sampler_state round-trip,
+    trainer.restore() mesh re-placement."""
+    import jax
+
+    from audioset_convnext_inf_tpu.checkpoint import load_checkpoint
+    from audioset_convnext_inf_tpu.cli.train import main
+
+    d = tmp_path / "h5"
+    packed, index = make_packed_and_index(str(d), n_clips=16, clip_samples=16000)
+
+    def run(workspace, early_stop, resume=0):
+        argv = [
+            "--train-indexes", index,
+            "--model", "convnext_atto",
+            "--batch-size", "8",
+            "--sampler", "balanced",
+            "--early-stop", str(early_stop),
+            "--eval-interval", "1000000",
+            "--checkpoint-interval", "2",
+            "--num-workers", "2",
+            "--workspace", workspace,
+            "--total-steps", "100",
+        ]
+        if resume:
+            argv += ["--resume-iteration", str(resume)]
+        assert main(argv) == 0
+
+    run(str(tmp_path / "ws_a"), early_stop=4)
+    run(str(tmp_path / "ws_b"), early_stop=2)
+    run(str(tmp_path / "ws_b"), early_stop=4, resume=2)
+
+    a = load_checkpoint(str(tmp_path / "ws_a" / "checkpoints" / "convnext_atto" / "4_iterations"))
+    b = load_checkpoint(str(tmp_path / "ws_b" / "checkpoints" / "convnext_atto" / "4_iterations"))
+    assert a["iteration"] == b["iteration"] == 4
+
+    # data-order exactness: the post-resume sampler stream must be identical
+    # (this is what the round-3 prefetch-snapshot + sampler-RNG fixes buy;
+    # before them the queue refill diverged and bn0 stats drifted by ~1.0)
+    sa = jax.tree_util.tree_leaves(a["sampler_state"])
+    sb = jax.tree_util.tree_leaves(b["sampler_state"])
+    assert len(sa) == len(sb)
+    for xa, xb in zip(sa, sb):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+    # params: identical data/key stream; tolerance only for XLA:CPU's
+    # run-to-run parallel-reduction scatter (~1e-5 at atto scale), far below
+    # the >=1e-3 signature of a wrong-batch resume
+    flat_a = jax.tree_util.tree_leaves(a["params"])
+    flat_b = jax.tree_util.tree_leaves(b["params"])
+    assert len(flat_a) == len(flat_b)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=2e-4)
+
+
 def test_verify_checkpoint_gate(tmp_path):
     """The checkpoint-arrival gate runs end-to-end on a synthetic checkpoint:
     param count + shape checks PASS, golden-index check FAILS (random
