@@ -50,7 +50,7 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--bf16", action="store_true", help="bfloat16 trunk compute")
     parser.add_argument("--block-impl", default="xla",
-                        choices=["xla", "xla_approx", "pallas"],
+                        choices=["xla", "xla_approx"],
                         help="block tail: 'xla' = exact erf GELU (reference "
                              "training recipe); 'xla_approx' = tanh GELU, "
                              "~1.3x faster end-to-end (deviation <=1.1e-3)")

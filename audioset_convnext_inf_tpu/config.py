@@ -128,10 +128,10 @@ class ConvNeXtConfig:
     #    the TPU VPU - use for f32 parity evaluation, not serving)
     #  - "xla_approx": XLA ops with tanh GELU - the fast serving default
     #    (tanh-vs-erf deviation <=1.1e-3 absolute, below bf16 rounding);
-    #    also enables the fused stage-4 Pallas block kernel at eval
-    #  - "pallas": fused LN->MLP tail kernel (tanh GELU); superseded by
-    #    "xla_approx" for serving - XLA fuses the tanh tail better than the
-    #    kernel at stage-1/2 widths - but kept for the trainable fused tail
+    #    also enables the fused stage-3/4 HWBC Pallas block kernels at eval
+    # (a third "pallas" fused LN->MLP tail kernel shipped in rounds 1-2;
+    # it lost to "xla_approx" everywhere and was deleted in round 3 -
+    # NOTES.md negative results)
     block_impl: str = "xla"
     # Training-only: rematerialize each ConvNeXt block in the backward
     # (jax.checkpoint) instead of keeping its dwconv/LN/GELU activations.

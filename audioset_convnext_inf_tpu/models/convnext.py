@@ -141,33 +141,6 @@ def _block_apply(
     dim = x.shape[-1]
     shortcut = x
     x = L.conv2d(x, p["dwconv"]["w"], p["dwconv"]["b"], padding=(3, 3), feature_group_count=dim)
-    if block_impl == "pallas":
-        # inference, or drop_path-free training (the caller downgrades the
-        # impl to "xla" run-wide when DropPath is active, so every block
-        # uses the same GELU flavor - never a per-block mix)
-        from audioset_convnext_inf_tpu.ops.pallas_block import (
-            fused_ln_mlp_residual,
-            fused_ln_mlp_residual_trainable,
-        )
-
-        gamma = p.get("gamma")
-        if key is None:
-            return fused_ln_mlp_residual(
-                x, shortcut,
-                p["norm"]["scale"], p["norm"]["bias"],
-                p["pwconv1"]["w"], p["pwconv1"]["b"],
-                p["pwconv2"]["w"], p["pwconv2"]["b"],
-                gamma, eps=eps,
-            )
-        if gamma is None:
-            gamma = jnp.ones((dim,), jnp.float32)
-        return fused_ln_mlp_residual_trainable(
-            x, shortcut,
-            p["norm"]["scale"], p["norm"]["bias"],
-            p["pwconv1"]["w"], p["pwconv1"]["b"],
-            p["pwconv2"]["w"], p["pwconv2"]["b"],
-            gamma, eps,
-        )
     x = L.layer_norm(x, p["norm"]["scale"], p["norm"]["bias"], eps)
     x = L.linear(x, p["pwconv1"]["w"], p["pwconv1"]["b"])
     # "xla_approx": XLA ops with the tanh GELU (same numerics class as the
@@ -254,28 +227,23 @@ def forward_features(
     (downsample, stage), then freq-mean + time-(max+mean) pooling and final
     LayerNorm; frame embeddings return *pre*-norm stage-4 output.
 
-    With ``block_impl="pallas"`` at eval, stages 3-4 run in the (H, W, B, C)
-    layout through the fully-fused block kernel (dwconv stencil overlapped
-    with the MLP GEMMs); stages 1-2 keep NHWC with XLA's depthwise conv
-    (whose lowering is already VPU-roofline-optimal at those channel counts)
-    plus the fused LN/MLP tail kernel.
+    With ``block_impl="xla_approx"`` at eval, stages 3-4 run in the
+    (H, W, B, C) layout through the fully-fused block kernel (dwconv stencil
+    overlapped with the MLP GEMMs); stages 1-2 keep NHWC with XLA's
+    depthwise conv, whose lowering is already VPU-roofline-optimal at those
+    channel counts (fusing them was measured slower - NOTES.md).
     """
     (_, _), stride, pad = cfg.stem_geometry()
     dp_rates = np.linspace(0.0, cfg.drop_path_rate, sum(cfg.depths))
     if train_key is not None:
         block_keys = jax.random.split(train_key, sum(cfg.depths))
-    # run-level block impl: DropPath-enabled training must use the XLA path
-    # for EVERY block (the fused kernel has no DropPath; a per-block switch
-    # would mix tanh- and erf-GELU blocks in one model)
     block_impl = cfg.block_impl
-    if train_key is not None and cfg.drop_path_rate > 0.0 and block_impl == "pallas":
-        block_impl = "xla"
     # fused stages need eval mode, a sublane-aligned batch, and a real TPU
     # (in interpret mode on CPU the kernel is orders of magnitude slower
     # than the XLA fallback; tests opt back in via _FUSED_ON_CPU)
     batch = x.shape[0]
     fused_stages = (
-        block_impl in ("pallas", "xla_approx")
+        block_impl == "xla_approx"
         and train_key is None and batch % 16 == 0
         and (jax.default_backend() in ("tpu", "axon") or _FUSED_ON_CPU)
     )

@@ -27,7 +27,7 @@ def main() -> None:
                              "runs scatter +-1.5%% through the relay")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     parser.add_argument("--block-impl", default="xla_approx",
-                        choices=["xla_approx", "pallas", "xla"])
+                        choices=["xla_approx", "xla"])
     parser.add_argument("--frontend-precision", default="high", choices=["highest", "high"],
                         help="bf16 serving default 'high': its max 1e-3 probability "
                              "delta is below the bf16 trunk's own rounding; f32 "

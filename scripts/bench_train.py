@@ -34,7 +34,7 @@ def main() -> None:
                     help="rematerialize blocks in the backward (fits B>=512)")
     ap.add_argument("--no-mixup", action="store_true")
     ap.add_argument("--block-impl", default="xla_approx",
-                    choices=["xla_approx", "xla", "pallas"])
+                    choices=["xla_approx", "xla"])
     ap.add_argument("--frontend-precision", default="high",
                     choices=["highest", "high"],
                     help="DFT/mel matmul precision; 'high' (bf16x3) is the "

@@ -178,10 +178,20 @@ class _ShimResample(nn.Module):
 
 def install_shims() -> None:
     """Register fake torchlibrosa/torchaudio packages in sys.modules."""
+    import importlib.machinery
+
+    def _mod(name: str) -> types.ModuleType:
+        # a real ModuleSpec matters: later importlib.util.find_spec(name)
+        # probes (e.g. transformers' torchaudio availability check) raise
+        # ValueError on an in-sys.modules module whose __spec__ is None
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        return m
+
     if "torchlibrosa" not in sys.modules:
-        tl = types.ModuleType("torchlibrosa")
-        tl_stft = types.ModuleType("torchlibrosa.stft")
-        tl_aug = types.ModuleType("torchlibrosa.augmentation")
+        tl = _mod("torchlibrosa")
+        tl_stft = _mod("torchlibrosa.stft")
+        tl_aug = _mod("torchlibrosa.augmentation")
         tl_stft.Spectrogram = _ShimSpectrogram
         tl_stft.LogmelFilterBank = _ShimLogmelFilterBank
         tl_aug.SpecAugmentation = _ShimSpecAugmentation
@@ -190,8 +200,8 @@ def install_shims() -> None:
         sys.modules["torchlibrosa.stft"] = tl_stft
         sys.modules["torchlibrosa.augmentation"] = tl_aug
     if "torchaudio" not in sys.modules:
-        ta = types.ModuleType("torchaudio")
-        ta_tr = types.ModuleType("torchaudio.transforms")
+        ta = _mod("torchaudio")
+        ta_tr = _mod("torchaudio.transforms")
         ta_tr.Resample = _ShimResample
         ta.transforms = ta_tr
         sys.modules["torchaudio"] = ta

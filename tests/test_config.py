@@ -15,7 +15,7 @@ from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
 def test_config_json_roundtrip():
     cfg = ConvNeXtConfig(
         name="rt", depths=(1, 2, 3, 4), dims=(8, 16, 32, 64),
-        drop_path_rate=0.3, after_stem_dim=(504, 28), block_impl="pallas",
+        drop_path_rate=0.3, after_stem_dim=(504, 28), block_impl="xla_approx",
         frontend=FrontendConfig(n_mels=64, precision="high"),
     )
     cfg2 = convnext_config_from_json(config_to_json(cfg))
@@ -23,7 +23,7 @@ def test_config_json_roundtrip():
     assert cfg2.after_stem_dim == (504, 28)
     assert cfg2.frontend.n_mels == 64
     assert cfg2.frontend.precision == "high"
-    assert cfg2.block_impl == "pallas"
+    assert cfg2.block_impl == "xla_approx"
     assert cfg2.augment.spec_augment.freq_drop_width == 28
 
 

@@ -122,7 +122,7 @@ def test_forward_features_fused_stages_match_unfused(rng, monkeypatch):
     from audioset_convnext_inf_tpu.models import convnext as F
 
     cfg = ConvNeXtConfig(depths=(1, 1, 2, 1), dims=(32, 64, 128, 256),
-                         drop_path_rate=0.0, block_impl="pallas")
+                         drop_path_rate=0.0, block_impl="xla_approx")
     params = F.init_params(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(rng.randn(16, 120, 56, 1) * 0.5, jnp.float32)
 
@@ -152,7 +152,7 @@ def test_forward_features_fused_gates(rng, monkeypatch):
     monkeypatch.setattr(F, "_FUSED_ON_CPU", True)
 
     cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(32, 64, 128, 256),
-                         drop_path_rate=0.0, block_impl="pallas")
+                         drop_path_rate=0.0, block_impl="xla_approx")
     params = F.init_params(jax.random.PRNGKey(0), cfg)
     x = jnp.asarray(rng.randn(3, 120, 56, 1) * 0.5, jnp.float32)
     y = F.forward_features(x, params, cfg)  # B=3: must not hit the kernel
@@ -161,7 +161,7 @@ def test_forward_features_fused_gates(rng, monkeypatch):
     # dims % 128 != 0: the fused stages run channel-padded. Verify the fused
     # path is actually taken (fused_block_hwbc called) and matches unfused.
     cfg2 = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(24, 48, 96, 192),
-                          drop_path_rate=0.0, block_impl="pallas")
+                          drop_path_rate=0.0, block_impl="xla_approx")
     params2 = F.init_params(jax.random.PRNGKey(0), cfg2)
     x2 = jnp.asarray(rng.randn(16, 120, 56, 1), jnp.float32)
 
