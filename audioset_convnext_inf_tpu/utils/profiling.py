@@ -127,6 +127,11 @@ def profile_ops(fn: Callable, *example_args, iters: int = 3,
             name = e["name"]
             if name.startswith("jit_"):  # enclosing module event
                 continue
+            if "hlo_category" not in a and "long_name" not in a:
+                # module/queue aggregate rows (named by bare core/queue ids)
+                # also carry device_duration_ps; they double-count the real
+                # HLO events and would dwarf them in the table
+                continue
             agg[name] += int(a["device_duration_ps"])
             cnt[name] += 1
             meta[name] = a
