@@ -43,8 +43,9 @@ def test_train_sampler_infinite_and_resumable(synth):
     state = s1.state_dict()
 
     # a fresh same-seed sampler restored from state continues the stream
-    # (reference resume semantics: sampler rebuilt with identical args, then
-    # load_state_dict - the RandomState itself is not serialized)
+    # (resume semantics: sampler rebuilt with identical args, then
+    # load_state_dict; since round 3 the state includes the MT19937 state,
+    # so the continuation is exact even across epoch-wrap reshuffles)
     s2 = TrainSampler(index, batch_size=8, random_seed=7)
     s2.load_state_dict(state)
     a = [next(iter(s1)) for _ in range(2)]
@@ -112,6 +113,30 @@ def test_loader_order_matches_sampler(synth):
     with h5py.File(index, "r") as hf:
         expected = [n.decode() for n in hf["audio_name"][:]]
     assert list(names) == expected
+
+
+def test_loader_ships_consumed_sampler_snapshots(synth):
+    """The prefetching loader runs the sampler ahead of the consumer; each
+    yielded batch must carry the sampler state AS OF ITS OWN DRAW, so a
+    checkpoint after consuming batch i resumes with batch i+1 (the
+    exact-resume contract the round-3 CLI test exercises end-to-end)."""
+    _, index = synth
+    ds = AudioSetDataset()
+    sampler = BalancedTrainSampler(index, batch_size=8, random_seed=11)
+    loader = DataLoader(ds, sampler, num_workers=4)
+    it = iter(loader)
+    batches = [next(it) for _ in range(4)]
+    for b in batches:
+        assert "sampler_state" in b
+
+    # restoring from batch i's snapshot must regenerate batch i+1 exactly
+    for i in range(3):
+        fresh = BalancedTrainSampler(index, batch_size=8, random_seed=11)
+        fresh.load_state_dict(batches[i]["sampler_state"])
+        regenerated = next(iter(fresh))
+        want = list(batches[i + 1]["audio_name"])
+        got = [ds[m]["audio_name"] for m in regenerated]
+        assert got == want, i
 
 
 def test_pack_roundtrip(tmp_path):

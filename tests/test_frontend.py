@@ -188,6 +188,32 @@ def test_ct_dft_matches_direct(rng):
     assert np.abs(lm_d - lm_c).max() < 5e-3  # dB
 
 
+def test_conv_dft_matches_direct(rng):
+    """The conv-DFT (default serving path) == direct framing+GEMM across
+    frame geometries: hop dividing n_fft exactly (r=0), ragged tail taps
+    (r>0), and the single-tap hop==n_fft case."""
+    import dataclasses
+
+    from audioset_convnext_inf_tpu.config import FrontendConfig
+    from audioset_convnext_inf_tpu.ops import frontend as FE
+
+    for n_fft, hop in [(1024, 320), (256, 160), (512, 128), (256, 256)]:
+        cfg = FrontendConfig(n_fft=n_fft, win_length=n_fft, hop_length=hop,
+                             precision="highest")
+        wav = jnp.asarray(rng.randn(2, 12800).astype(np.float32) * 0.3)
+        p_d = np.asarray(FE.power_spectrogram(wav, cfg))
+        p_c = np.asarray(FE.power_spectrogram_conv(wav, cfg))
+        assert p_d.shape == p_c.shape, (n_fft, hop)
+        rel = np.abs(p_c - p_d) / (np.abs(p_d) + 1e-6)
+        assert rel.max() < 5e-3, (n_fft, hop, rel.max())
+
+        lm_d = np.asarray(FE.log_mel_spectrogram(
+            wav, dataclasses.replace(cfg, dft_impl="direct")))
+        lm_c = np.asarray(FE.log_mel_spectrogram(
+            wav, dataclasses.replace(cfg, dft_impl="conv")))
+        assert np.abs(lm_d - lm_c).max() < 5e-3, (n_fft, hop)  # dB
+
+
 def test_ct_factors():
     from audioset_convnext_inf_tpu.ops.frontend import _ct_factors
 
