@@ -58,7 +58,9 @@ class FrontendConfig:
     # slightly more accurate than "direct" - 5.99e-4 vs 6.56e-4 max dB err
     # against f64); "direct" = frame + one (n_fft, n_fft//2+1) GEMM pair;
     # "ct" = two-stage Cooley-Tukey GEMM-DFT (n_fft = P*Q - ~7x fewer
-    # FLOPs, measured slower on TPU, kept as the accuracy reference).
+    # FLOPs, measured slower on TPU, kept as the accuracy reference);
+    # "rfft" = frame + XLA's native real FFT (exact f32, no precision knob;
+    # speed is backend-dependent - measured on v5e in NOTES.md).
     dft_impl: str = "conv"
 
     @property

@@ -337,6 +337,33 @@ def power_spectrogram_conv(
     return re * re + im * im
 
 
+def power_spectrogram_rfft(
+    waveform: jnp.ndarray, cfg: FrontendConfig, compute_dtype=jnp.float32
+) -> jnp.ndarray:
+    """Power spectrum via XLA's native real FFT (dft_impl="rfft").
+
+    Frames with the strided-reshape framer, windows, and runs
+    ``jnp.fft.rfft`` - an exact f32 FFT, so it needs no precision knob and
+    is the most accurate device path (the GEMM formulations trade accuracy
+    for MXU throughput at precision("high")). Speed is measured per
+    backend: see NOTES.md for the v5e whole-model A/B against "conv".
+    """
+    if waveform.ndim == 1:
+        waveform = waveform[None, :]
+    b, n = waveform.shape
+    num_frames = cfg.num_frames(n)
+    pad = cfg.n_fft // 2
+    if cfg.center:
+        waveform = jnp.pad(waveform, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
+    frames = frame_signal(waveform, cfg.n_fft, cfg.hop_length, num_frames)
+    window = hann_window_periodic(cfg.win_length)
+    if cfg.win_length < cfg.n_fft:
+        lpad = (cfg.n_fft - cfg.win_length) // 2
+        window = np.pad(window, (lpad, cfg.n_fft - cfg.win_length - lpad))
+    spec = jnp.fft.rfft(frames.astype(jnp.float32) * jnp.asarray(window, jnp.float32))
+    return spec.real * spec.real + spec.imag * spec.imag
+
+
 def power_spectrogram(
     waveform: jnp.ndarray, cfg: FrontendConfig, compute_dtype=jnp.float32
 ) -> jnp.ndarray:
@@ -417,6 +444,8 @@ def log_mel_spectrogram(
         )
     elif cfg.dft_impl == "conv":
         power = power_spectrogram_conv(waveform, cfg, compute_dtype=compute_dtype)
+    elif cfg.dft_impl == "rfft":
+        power = power_spectrogram_rfft(waveform, cfg, compute_dtype=compute_dtype)
     else:
         power = power_spectrogram(waveform, cfg, compute_dtype=compute_dtype)
     mel_prec = {"highest": jax.lax.Precision.HIGHEST, "high": jax.lax.Precision.HIGH,

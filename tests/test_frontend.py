@@ -214,6 +214,31 @@ def test_conv_dft_matches_direct(rng):
         assert np.abs(lm_d - lm_c).max() < 5e-3, (n_fft, hop)  # dB
 
 
+def test_rfft_dft_matches_direct(rng):
+    """dft_impl="rfft" (XLA native real FFT) == direct framing+GEMM across
+    frame geometries, including win_length < n_fft (center-padded window)."""
+    import dataclasses
+
+    from audioset_convnext_inf_tpu.config import FrontendConfig
+    from audioset_convnext_inf_tpu.ops import frontend as FE
+
+    for n_fft, win, hop in [(1024, 1024, 320), (256, 200, 160), (512, 512, 512)]:
+        cfg = FrontendConfig(n_fft=n_fft, win_length=win, hop_length=hop,
+                             precision="highest")
+        wav = jnp.asarray(rng.randn(2, 12800).astype(np.float32) * 0.3)
+        p_d = np.asarray(FE.power_spectrogram(wav, cfg))
+        p_r = np.asarray(FE.power_spectrogram_rfft(wav, cfg))
+        assert p_d.shape == p_r.shape, (n_fft, win, hop)
+        rel = np.abs(p_r - p_d) / (np.abs(p_d) + 1e-6)
+        assert rel.max() < 5e-3, (n_fft, win, hop, rel.max())
+
+        lm_d = np.asarray(FE.log_mel_spectrogram(
+            wav, dataclasses.replace(cfg, dft_impl="direct")))
+        lm_r = np.asarray(FE.log_mel_spectrogram(
+            wav, dataclasses.replace(cfg, dft_impl="rfft")))
+        assert np.abs(lm_d - lm_r).max() < 5e-3, (n_fft, win, hop)  # dB
+
+
 def test_ct_factors():
     from audioset_convnext_inf_tpu.ops.frontend import _ct_factors
 
