@@ -26,6 +26,7 @@ Params = Dict[str, Any]
 
 _BN_MAP = {"weight": "scale", "bias": "bias", "running_mean": "mean", "running_var": "var"}
 _SKIP = ("spectrogram_extractor.", "logmel_extractor.", "spec_augmenter.", "num_batches_tracked")
+_DEFORM_MAP = {"offset_conv": "offset", "modulator_conv": "modulator", "regular_conv": "regular"}
 
 
 def _to_numpy(t) -> np.ndarray:
@@ -71,7 +72,7 @@ def _set(tree: Params, path: List, leaf: str, value: np.ndarray) -> None:
     node[leaf] = jnp.asarray(value)
 
 
-def _rewrite_path(cfg: PannConfig, key: str) -> List:
+def _rewrite_path(cfg: PannConfig, key: str, block_rank=None) -> List:
     """torch module path -> our pytree path (list of str/int)."""
     parts = key.split(".")[:-1]  # drop leaf
     fam = cfg.family
@@ -126,8 +127,28 @@ def _rewrite_path(cfg: PannConfig, key: str) -> List:
                         7: "project", 8: "bn_project"}[li]
             return blk + [name]
         return parts
-    # cnn / sed / wavegram: paths map one-to-one
-    return parts
+    if fam == "cnn_next":
+        # hybrid Block/BlockGroup1 models (models.py:268-1876):
+        # stem = Sequential[conv, channels_first LN]; conv_blockN = Block
+        # {dwconv, norm, pwconv1, pwconv2, downsample_layer=[LN, conv]}
+        if parts[0] == "stem":
+            return ["stem", {"0": "conv", "1": "norm"}[parts[1]]]
+        m = re.match(r"conv_block(\d+)$", parts[0])
+        if m:
+            rest = parts[1:]
+            if rest and rest[0] == "downsample_layer":
+                rest = ["downsample", {"0": "norm", "1": "conv"}[rest[1]]]
+            # block labels need not be contiguous: Cnn10Next/Cnn14Next name
+            # blocks conv_block11, conv_block12, conv_block21, ...
+            # (models.py:1363-1372, 1791-1800); the numeric labels sort in
+            # forward order, so map label -> ordinal via block_rank
+            label = int(m.group(1))
+            idx = block_rank[label] if block_rank else label - 1
+            return ["blocks", idx] + rest
+        return parts
+    # cnn / sed / wavegram: paths map one-to-one (modulo the DeformableConv2d
+    # submodule names, models.py:202-265)
+    return [_DEFORM_MAP.get(p, p) for p in parts]
 
 
 def _mbv2_meta():
@@ -164,6 +185,14 @@ def pann_state_dict_to_params(state_dict: Dict[str, Any], cfg_or_name) -> Params
     bn_prefixes = {
         k[: -len(".running_mean")] for k in state_dict if k.endswith(".running_mean")
     }
+    block_rank = None
+    if cfg.family == "cnn_next":
+        labels = sorted({
+            int(m.group(1))
+            for k in state_dict
+            if (m := re.match(r"conv_block(\d+)\.", k))
+        })
+        block_rank = {lbl: i for i, lbl in enumerate(labels)}
     params: Params = {}
     for key, raw in state_dict.items():
         if any(s in key for s in _SKIP):
@@ -171,7 +200,11 @@ def pann_state_dict_to_params(state_dict: Dict[str, Any], cfg_or_name) -> Params
         v = _to_numpy(raw)
         is_bn = key.rsplit(".", 1)[0] in bn_prefixes
         leaf, value = _transform(key, v, is_bn)
-        path = _rewrite_path(cfg, key)
+        path = _rewrite_path(cfg, key, block_rank)
+        # cnn_next LayerNorms (block norm, stem LN, downsample LN) use
+        # scale/bias leaves like init_layer_norm, not conv-style w/b
+        if cfg.family == "cnn_next" and path and path[-1] == "norm" and not is_bn:
+            leaf = _BN_MAP[key.rsplit(".", 1)[-1]]
         # normalize nested list containers ("blocks"/"stages" markers)
         norm_path: List = []
         for p in path:

@@ -176,6 +176,49 @@ class _ShimResample(nn.Module):
         raise NotImplementedError("torchaudio is not available in this environment")
 
 
+def _tv_deform_conv2d(input, offset, weight, bias=None, stride=(1, 1),
+                      padding=(0, 0), dilation=(1, 1), mask=None):
+    """torchvision.ops.deform_conv2d re-expressed over torch.grid_sample.
+
+    An INDEPENDENT bilinear-sampling path (torch's C++ grid_sample) against
+    which our gather+matmul ``ops/deform_conv.py`` can be parity-checked.
+    Offset layout matches torchvision: (B, 2*kh*kw, H', W') with (dy, dx)
+    pairs per kernel tap in row-major tap order; zero padding outside.
+    """
+    import torch.nn.functional as F
+
+    def _pair(v):
+        return (v, v) if isinstance(v, int) else tuple(v)
+
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    b, c, h, w = input.shape
+    o, _, kh, kw = weight.shape
+    hp = (h + 2 * ph - dh * (kh - 1) - 1) // sh + 1
+    wp = (w + 2 * pw - dw * (kw - 1) - 1) // sw + 1
+
+    ys = torch.arange(hp, dtype=input.dtype) * sh - ph
+    xs = torch.arange(wp, dtype=input.dtype) * sw - pw
+    out = torch.zeros(b, o, hp, wp, dtype=input.dtype)
+    for k in range(kh * kw):
+        i, j = divmod(k, kw)
+        y = ys[None, :, None] + i * dh + offset[:, 2 * k]
+        x = xs[None, None, :] + j * dw + offset[:, 2 * k + 1]
+        grid = torch.stack(
+            [2.0 * x / (w - 1) - 1.0, 2.0 * y / (h - 1) - 1.0], dim=-1
+        )
+        sampled = F.grid_sample(
+            input, grid, mode="bilinear", padding_mode="zeros", align_corners=True
+        )
+        if mask is not None:
+            sampled = sampled * mask[:, k : k + 1]
+        out = out + torch.einsum("bchw,oc->bohw", sampled, weight[:, :, i, j])
+    if bias is not None:
+        out = out + bias.view(1, -1, 1, 1)
+    return out
+
+
 def install_shims() -> None:
     """Register fake torchlibrosa/torchaudio packages in sys.modules."""
     import importlib.machinery
@@ -206,6 +249,40 @@ def install_shims() -> None:
         ta.transforms = ta_tr
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.transforms"] = ta_tr
+    if "torchvision" not in sys.modules:
+        tv = _mod("torchvision")
+        tv_ops = _mod("torchvision.ops")
+        tv_ops.deform_conv2d = _tv_deform_conv2d
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+
+
+def load_reference_pann_models():
+    """Import the reference's PANN zoo (``pytorch/models.py``, 72 classes).
+
+    models.py is broken as packaged (SURVEY.md section 2.3): it uses flat
+    imports (``from pytorch_utils import ...``), references the undefined
+    ``cDcls2d`` in ``init_layer`` (models.py:18 - the commented-out DCLS
+    CUDA import) and the undefined ``DropPath`` in ``Block`` (models.py:82,
+    defined in convnext.py). This loader adds the pytorch dir to sys.path
+    for the flat imports and patches the two undefined names with their
+    evident intents (``nn.Conv2d`` for the isinstance check; the reference's
+    own ``convnext.DropPath``) - the *model math* under test is untouched.
+    Construction prints from ``init_layer`` are the reference's own.
+    """
+    install_shims()
+    pytorch_dir = REFERENCE_SRC + "/audioset_convnext_inf/pytorch"
+    for p in (REFERENCE_SRC, pytorch_dir):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import importlib
+
+    convnext = importlib.import_module("audioset_convnext_inf.pytorch.convnext")
+    models = importlib.import_module("models")
+    models.cDcls2d = nn.Conv2d
+    models.DropPath = convnext.DropPath
+    return models
 
 
 def load_reference_modules():
