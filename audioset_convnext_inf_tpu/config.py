@@ -141,6 +141,15 @@ class ConvNeXtConfig:
     # 26.5/15.75 GB without it - NOTES.md); remat trades ~1 extra block
     # forward per backward for fitting 2-3x the batch. No effect at eval.
     remat_blocks: bool = False
+    # Training-only: run stages 3-4 through the fused HWBC Pallas block
+    # kernels in the TRAINING step too, via a custom VJP whose backward is
+    # the fused block-backward kernel (ops/pallas_fused_block_bwd.py:
+    # dgrad/wgrad stencils overlapped with the gradient GEMMs). Requires
+    # block_impl="xla_approx", batch % 16 == 0, and layer scale enabled;
+    # silently falls back to the XLA path otherwise. Mutually exclusive
+    # with remat_blocks (the fused VJP stores x + the dwconv output and
+    # recomputes LN/GELU, which is already the remat sweet spot).
+    fused_train_blocks: bool = False
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
 

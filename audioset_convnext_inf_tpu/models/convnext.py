@@ -210,6 +210,10 @@ def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int,
 # the stencil w-chunk: one (wch+6)-wide window load serves wch output
 # columns, so wide chunks amortize halo reloads (W=14 -> one chunk/row).
 _FUSED_STAGE_TILES = {2: (3, 1, 14), 3: (1, 1, 7)}
+# backward-kernel ht per stage (cfg.fused_train_blocks); the backward DMA
+# classes need ht >= 3 and a last tile >= 3 rows (s3 H=63: 9x7; s4 H=31:
+# 7x4+3)
+_BWD_STAGE_TILES = {2: 7, 3: 4}
 # test hook: allow the fused stages under the CPU interpreter
 _FUSED_ON_CPU = False
 
@@ -242,10 +246,23 @@ def forward_features(
     # (in interpret mode on CPU the kernel is orders of magnitude slower
     # than the XLA fallback; tests opt back in via _FUSED_ON_CPU)
     batch = x.shape[0]
+    on_tpu = jax.default_backend() in ("tpu", "axon") or _FUSED_ON_CPU
     fused_stages = (
         block_impl == "xla_approx"
         and train_key is None and batch % 16 == 0
-        and (jax.default_backend() in ("tpu", "axon") or _FUSED_ON_CPU)
+        and on_tpu
+    )
+    # Training: route stages 3-4 through the fused kernels with the fused
+    # custom-VJP backward (cfg.fused_train_blocks). Requires layer scale
+    # (the VJP differentiates gamma) and no remat (the VJP already
+    # recomputes LN/GELU from the saved dwconv output).
+    fused_train = (
+        cfg.fused_train_blocks
+        and block_impl == "xla_approx"
+        and train_key is not None and batch % 16 == 0
+        and on_tpu
+        and cfg.layer_scale_init_value > 0
+        and not cfg.remat_blocks
     )
     hwbc = False  # current layout flag
     cur = 0
@@ -270,7 +287,15 @@ def forward_features(
             else:
                 x = L.layer_norm(x, d["norm"]["scale"], d["norm"]["bias"], cfg.ln_eps)
                 x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
-        if fused_stages and i in _FUSED_STAGE_TILES:
+        stage_h = x.shape[0] if hwbc else x.shape[1]  # post-downsample H
+        bwd_ht = _BWD_STAGE_TILES.get(i, 3)
+        bwd_n_h = -(-stage_h // bwd_ht)
+        bwd_ok = (bwd_n_h >= 2 and bwd_ht >= 3
+                  and stage_h - (bwd_n_h - 1) * bwd_ht >= 3)
+        stage_fusable = i in _FUSED_STAGE_TILES and (
+            fused_stages or (fused_train and bwd_ok)
+        )
+        if stage_fusable:
             if not hwbc:
                 x = jnp.transpose(x, (1, 2, 0, 3))  # NHWC -> HWBC
                 hwbc = True
@@ -283,8 +308,35 @@ def forward_features(
             tile = _FUSED_STAGE_TILES[i]
             ht, mrows = tile[0], tile[1]
             wch = tile[2] if len(tile) > 2 else 4
-            for block in params["stages"][i]:
-                x = _fused_block(x, block, cfg.ln_eps, ht, mrows, wch)
+            if train_key is None:
+                for block in params["stages"][i]:
+                    x = _fused_block(x, block, cfg.ln_eps, ht, mrows, wch)
+            else:
+                from audioset_convnext_inf_tpu.ops.fused_block_train import (
+                    FusedTrainTiles,
+                    fused_block_train,
+                )
+
+                tiles = FusedTrainTiles(
+                    eps=cfg.ln_eps, fwd_ht=ht, fwd_mrows=mrows, fwd_wch=wch,
+                    bwd_ht=_BWD_STAGE_TILES.get(i, 3))
+                for j, block in enumerate(params["stages"][i]):
+                    dpr = float(dp_rates[cur + j])
+                    if dpr > 0.0:
+                        keep = 1.0 - dpr
+                        s = jax.random.bernoulli(
+                            block_keys[cur + j], keep, (batch,)
+                        ).astype(jnp.float32) / keep
+                    else:
+                        s = jnp.ones((batch,), jnp.float32)
+                    x = fused_block_train(
+                        tiles, x,
+                        block["dwconv"]["w"].reshape(7, 7, -1),
+                        block["dwconv"]["b"],
+                        block["norm"]["scale"], block["norm"]["bias"],
+                        block["pwconv1"]["w"], block["pwconv1"]["b"],
+                        block["pwconv2"]["w"], block["pwconv2"]["b"],
+                        block["gamma"], s)
             if cp > c_real:
                 x = x[..., :c_real]
         else:

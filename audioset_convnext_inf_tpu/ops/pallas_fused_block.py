@@ -51,9 +51,13 @@ def _use_interpret() -> bool:
 
 
 def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
-            w2_ref, b2_ref, g_ref, out_ref, xin, sbuf, sem,
-            *, HT, W, WCH, Cp, C, n_h, eps, mrows, streams="both",
-            padless=False, HT_LAST=None):
+            w2_ref, b2_ref, g_ref, *refs,
+            HT, W, WCH, Cp, C, n_h, eps, mrows, streams="both",
+            padless=False, HT_LAST=None, save_d=False):
+    if save_d:  # training: extra per-sample drop-path scale input + d output
+        s_ref, out_ref, dout_ref, xin, sbuf, sem = refs
+    else:
+        (out_ref, xin, sbuf, sem), s_ref, dout_ref = refs, None, None
     if HT_LAST is None:
         HT_LAST = HT
     bg = pl.program_id(0)
@@ -187,6 +191,8 @@ def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
         for mc in range(HT // mrows):
             h0 = mc * mrows
             xs = sb[pl.ds(h0, mrows)].reshape(mrows * W * SUB, Cp)
+            if save_d:  # stash the dwconv output for the fused-VJP backward
+                dout_ref[pl.ds(h0, mrows)] = xs.reshape(mrows, W, 1, SUB, Cp)
             rs = res[pl.ds(P + h0, mrows), P:P + W].reshape(mrows * W * SUB, Cp)
 
             xf = xs.astype(jnp.float32)
@@ -204,6 +210,9 @@ def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                 h1, w2_ref[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) + b2_ref[:]
             y = y * g_ref[:]
+            if save_d:  # per-sample drop-path scale on the branch only
+                y = (y.reshape(mrows, W, SUB, Cp)
+                     * s_ref[0]).reshape(mrows * W * SUB, Cp)
             out = (rs.astype(jnp.float32) + y).astype(out_ref.dtype)
             out_ref[pl.ds(h0, mrows)] = out.reshape(mrows, W, 1, SUB, Cp)
 
@@ -246,11 +255,15 @@ def fused_block_hwbc(
     mrows: Optional[int] = None,
     wch: int = 4,
     streams: str = "both",
+    save_dwconv: bool = False,
+    s: Optional[Array] = None,  # (B,) per-sample drop-path scale (train only)
 ) -> Array:
     """One ConvNeXt block in HWBC layout. Returns (H, W, B, Cp).
 
     ``ht``: h-rows per pipeline tile. ``mrows``: h-rows per MLP GEMM chunk
     (bounds the f32 accumulator VMEM); must divide ht.
+    ``save_dwconv``: also return the dwconv output (same shape) for the
+    fused-VJP training backward, which recomputes LN/GELU from it.
     """
     H, W, B, Cp = x.shape
     C = dw_w.shape[-1]
@@ -298,10 +311,16 @@ def fused_block_hwbc(
     w1p = jnp.pad(w1.astype(dt), ((0, pc), (0, 0)))
     w2p = jnp.pad(w2.astype(dt), ((0, 0), (0, pc)))
 
+    out_spec = pl.BlockSpec(
+        (ht, W, 1, SUB, Cp),
+        lambda b, i: (jnp.maximum(i - 1, 0), 0, b, 0, 0),
+        memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((Hp, W, BG, SUB, Cp), dt)
     out = pl.pallas_call(
         functools.partial(_kernel, HT=ht, W=W, WCH=wch, Cp=Cp, C=C, n_h=n_h,
                           eps=eps, mrows=mrows, streams=streams,
-                          padless=padless, HT_LAST=ht_last if padless else ht),
+                          padless=padless, HT_LAST=ht_last if padless else ht,
+                          save_d=save_dwconv),
         grid=(BG, n_h + 1),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -314,12 +333,10 @@ def fused_block_hwbc(
             pl.BlockSpec((hidden, Cp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cp), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (ht, W, 1, SUB, Cp),
-            lambda b, i: (jnp.maximum(i - 1, 0), 0, b, 0, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, W, BG, SUB, Cp), dt),
+        ] + ([pl.BlockSpec((1, SUB, Cp), lambda b, i: (b, 0, 0),
+                           memory_space=pltpu.VMEM)] if save_dwconv else []),
+        out_specs=[out_spec, out_spec] if save_dwconv else out_spec,
+        out_shape=[out_sds, out_sds] if save_dwconv else out_sds,
         scratch_shapes=[
             pltpu.VMEM((3, ht + 2 * P, Wp, SUB, Cp), dt),
             pltpu.VMEM((2, ht, W, SUB, Cp), dt),
@@ -339,5 +356,12 @@ def fused_block_hwbc(
         w1p, jnp.asarray(b1, jnp.float32)[None, :],
         w2p, padc(b2)[None, :],
         padc(g)[None, :],
+        *([jnp.broadcast_to(
+            jnp.asarray(s if s is not None else jnp.ones((B,)),
+                        jnp.float32).reshape(BG, SUB, 1),
+            (BG, SUB, Cp))] if save_dwconv else []),
     )
+    if save_dwconv:
+        y, d = out
+        return (y.reshape(Hp, W, B, Cp)[:H], d.reshape(Hp, W, B, Cp)[:H])
     return out.reshape(Hp, W, B, Cp)[:H]

@@ -141,11 +141,14 @@ def _bwd_kernel(x_any, d_any, dy_any, wflip_ref, lns_ref, lnb_ref, w1_ref,
         def _():
             xin[slot, HT_LAST + P:] = jnp.zeros_like(xin[slot, HT_LAST + P:])
 
-        # ragged last tile: stale dy rows would pollute the accumulators
+        # ragged last tile: stale dy rows would pollute the accumulators,
+        # and stale d rows can be NaN/Inf garbage whose zero-dy products
+        # still poison the GEMM accumulations (NaN * 0 = NaN)
         if HT_LAST < HT:
             @pl.when(h == n_h - 1)
             def _():
                 dyin[slot, HT_LAST:] = jnp.zeros_like(dyin[slot, HT_LAST:])
+                din[tile % 2, HT_LAST:] = jnp.zeros_like(din[tile % 2, HT_LAST:])
 
         # x W margins: zeroed once per ring slot
         @pl.when(t < 3)
