@@ -210,10 +210,11 @@ def _fused_block(x: Array, p: Params, eps: float, ht: int, mrows: int,
 # the stencil w-chunk: one (wch+6)-wide window load serves wch output
 # columns, so wide chunks amortize halo reloads (W=14 -> one chunk/row).
 _FUSED_STAGE_TILES = {2: (3, 1, 14), 3: (1, 1, 7)}
-# backward-kernel ht per stage (cfg.fused_train_blocks); the backward DMA
-# classes need ht >= 3 and a last tile >= 3 rows (s3 H=63: 9x7; s4 H=31:
-# 7x4+3)
-_BWD_STAGE_TILES = {2: 7, 3: 4}
+# backward-kernel (ht, mrows) per stage (cfg.fused_train_blocks); the
+# backward DMA classes need ht >= 3 and a last tile >= 3 rows (s3 H=63:
+# 9x7; s4 H=31: 7x4+3). mrows=2 at s4 keeps the gradient GEMMs' M dim at
+# 224 rows (vs 112) for MXU tiling.
+_BWD_STAGE_TILES = {2: (7, 1), 3: (4, 2)}
 # test hook: allow the fused stages under the CPU interpreter
 _FUSED_ON_CPU = False
 
@@ -288,7 +289,7 @@ def forward_features(
                 x = L.layer_norm(x, d["norm"]["scale"], d["norm"]["bias"], cfg.ln_eps)
                 x = L.conv2d(x, d["conv"]["w"], d["conv"]["b"], stride=(2, 2), padding="VALID")
         stage_h = x.shape[0] if hwbc else x.shape[1]  # post-downsample H
-        bwd_ht = _BWD_STAGE_TILES.get(i, 3)
+        bwd_ht, bwd_mrows = _BWD_STAGE_TILES.get(i, (3, 1))
         bwd_n_h = -(-stage_h // bwd_ht)
         bwd_ok = (bwd_n_h >= 2 and bwd_ht >= 3
                   and stage_h - (bwd_n_h - 1) * bwd_ht >= 3)
@@ -319,7 +320,7 @@ def forward_features(
 
                 tiles = FusedTrainTiles(
                     eps=cfg.ln_eps, fwd_ht=ht, fwd_mrows=mrows, fwd_wch=wch,
-                    bwd_ht=_BWD_STAGE_TILES.get(i, 3))
+                    bwd_ht=bwd_ht, bwd_mrows=bwd_mrows)
                 for j, block in enumerate(params["stages"][i]):
                     dpr = float(dp_rates[cur + j])
                     if dpr > 0.0:

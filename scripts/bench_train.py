@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize blocks in the backward (fits B>=512)")
+    ap.add_argument("--fused-train", action="store_true",
+                    help="stages 3-4 through the fused forward+backward "
+                         "Pallas kernels (cfg.fused_train_blocks)")
     ap.add_argument("--no-mixup", action="store_true")
     ap.add_argument("--block-impl", default="xla_approx",
                     choices=["xla_approx", "xla"])
@@ -60,6 +63,7 @@ def main() -> None:
     # B-waveform frontend at "highest" costs ~15 ms/step at B=256
     cfg = ConvNeXtConfig(drop_path_rate=0.1, block_impl=args.block_impl,
                          remat_blocks=args.remat,
+                         fused_train_blocks=args.fused_train,
                          frontend=FrontendConfig(precision=args.frontend_precision))
     params = F.init_params(jax.random.PRNGKey(0), cfg)
     trainer = Trainer(
@@ -102,6 +106,7 @@ def main() -> None:
             "effective_clips_per_step": eff,
             "mixup": mixup_alpha > 0,
             "remat_blocks": args.remat,
+            "fused_train_blocks": args.fused_train,
             "block_impl": args.block_impl,
             "frontend_precision": args.frontend_precision,
             "iters": args.iters,

@@ -55,8 +55,8 @@ def test_fused_train_matches_xla(dp_rate, monkeypatch):
     r = jnp.asarray(rng.randn(16, 256), jnp.float32)
     key = jax.random.PRNGKey(7)
 
-    val_f, g_f = _grads(cfg_f, params, x, r, key, monkeypatch, {2: 5, 3: 4})
-    val_x, g_x = _grads(cfg_x, params, x, r, key, monkeypatch, {2: 5, 3: 4})
+    val_f, g_f = _grads(cfg_f, params, x, r, key, monkeypatch, {2: (5, 1), 3: (4, 2)})
+    val_x, g_x = _grads(cfg_x, params, x, r, key, monkeypatch, {2: (5, 1), 3: (4, 2)})
 
     assert abs(float(val_f) - float(val_x)) < 2e-3 * max(1.0, abs(float(val_x)))
     assert _max_diff(g_f[0], g_x[0]) < 3e-4  # param grads
