@@ -59,6 +59,11 @@ def main(argv=None) -> int:
                              "(jax.checkpoint): fits batch >= 512 waveforms "
                              "within v5e HBM at the cost of ~1 extra block "
                              "forward per backward")
+    parser.add_argument("--fused-train-blocks", action="store_true",
+                        help="run stages 3-4 through the fused HWBC Pallas "
+                             "kernels in the training step (fused custom-VJP "
+                             "backward); needs --block-impl xla_approx and "
+                             "batch %% 16 == 0")
     parser.add_argument("--frontend-precision", default=None,
                         choices=["highest", "high"],
                         help="DFT/mel matmul precision; default 'high' "
@@ -112,6 +117,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         block_impl=args.block_impl,
         remat_blocks=args.remat_blocks,
+        fused_train_blocks=args.fused_train_blocks,
         frontend=FrontendConfig(precision=fe_precision),
     )
     cfg = model.cfg
