@@ -63,6 +63,27 @@ def test_fused_train_matches_xla(dp_rate, monkeypatch):
     assert _max_diff(g_f[1], g_x[1]) < 3e-4  # input cotangent
 
 
+def test_fused_train_bf16(monkeypatch):
+    """bf16 activations (the production training dtype) stay finite and
+    match the XLA path within bf16 tolerance."""
+    rng = np.random.RandomState(3)
+    base = dict(depths=(1, 1, 2, 1), dims=(32, 64, 128, 256),
+                drop_path_rate=0.0, block_impl="xla_approx")
+    cfg_f = ConvNeXtConfig(fused_train_blocks=True, **base)
+    cfg_x = ConvNeXtConfig(fused_train_blocks=False, **base)
+    params = F.init_params(jax.random.PRNGKey(0), cfg_f)
+    x = jnp.asarray(rng.randn(16, 240, 56, 1) * 0.5, jnp.bfloat16)
+    r = jnp.asarray(rng.randn(16, 256), jnp.float32)
+    key = jax.random.PRNGKey(11)
+
+    val_f, g_f = _grads(cfg_f, params, x, r, key, monkeypatch,
+                        {2: (5, 1), 3: (4, 2)})
+    val_x, g_x = _grads(cfg_x, params, x, r, key, monkeypatch,
+                        {2: (5, 1), 3: (4, 2)})
+    assert abs(float(val_f) - float(val_x)) < 3e-2 * max(1.0, abs(float(val_x)))
+    assert _max_diff(g_f[0], g_x[0]) < 5e-2
+
+
 def test_fused_train_geometry_fallback(monkeypatch):
     """Stage heights that fail the backward DMA geometry fall back to the
     XLA path (same values, no crash)."""
