@@ -149,6 +149,10 @@ class ConvNeXtConfig:
     # silently falls back to the XLA path otherwise. Mutually exclusive
     # with remat_blocks (the fused VJP stores x + the dwconv output and
     # recomputes LN/GELU, which is already the remat sweet spot).
+    # Multi-chip caveat: GSPMD has no partitioning rule for the Mosaic
+    # custom calls, so under a multi-device mesh keep this off (or wrap the
+    # step in shard_map) - same constraint the sharded Evaluator handles
+    # via shard_map for the eval kernels.
     fused_train_blocks: bool = False
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     augment: AugmentConfig = field(default_factory=AugmentConfig)
