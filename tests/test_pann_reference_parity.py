@@ -76,6 +76,31 @@ PARITY_MODELS = {
     "Cnn8NextNoStemNoFC1": {},
     "Cnn10Next": {},
     "Cnn14Next": {},
+    # Round 3: the remaining 21 runnable registry models. Each shares a
+    # code path already verified above, but running all 49 removes any
+    # doubt about per-model config wiring (depths, pool ladders, embedding
+    # sizes, frontend rates) in PANN_REGISTRY vs the reference classes.
+    "Cnn10": {},
+    "Cnn10Next11": {},
+    "Cnn10NextDropPath": {},
+    "Cnn10NextNoStem": {},
+    "Cnn14_8k": {},
+    "Cnn14_DecisionLevelAvg": {},
+    "Cnn14_emb128": {},
+    "Cnn14_emb32": {},
+    "Cnn14_mel32": {},
+    "Cnn14_mixup_time_domain": {},
+    "Cnn14_no_dropout": {},
+    "Cnn14_no_specaug": {},
+    "Cnn6Next11": {},
+    "Cnn6Next11NoStem": {},
+    "Cnn6Next13": {},
+    "Cnn6Next13NoStem": {},
+    "Cnn6NextNoLastPool": {},
+    "Cnn6NextNoStem": {},
+    "Cnn7Next": {},
+    "Res1dNet51": {},
+    "ResNet38": {},
 }
 
 
