@@ -149,10 +149,13 @@ class ConvNeXtConfig:
     # silently falls back to the XLA path otherwise. Mutually exclusive
     # with remat_blocks (the fused VJP stores x + the dwconv output and
     # recomputes LN/GELU, which is already the remat sweet spot).
-    # Multi-chip caveat: GSPMD has no partitioning rule for the Mosaic
-    # custom calls, so under a multi-device mesh keep this off (or wrap the
-    # step in shard_map) - same constraint the sharded Evaluator handles
-    # via shard_map for the eval kernels.
+    # Multi-chip: GSPMD has no partitioning rule for the Mosaic custom
+    # calls, so on a multi-device mesh the trainer runs the trunk under
+    # shard_map (engine/trainer.py::make_train_step) - prologue (augs,
+    # frontend, bn0 batch stats, SpecAugment, mixup) stays global, each
+    # device runs the fused kernels on its local batch shard, gradients
+    # all-reduce through the pmean transpose. Same treatment the sharded
+    # Evaluator gives the fused eval kernels.
     fused_train_blocks: bool = False
     frontend: FrontendConfig = field(default_factory=FrontendConfig)
     augment: AugmentConfig = field(default_factory=AugmentConfig)

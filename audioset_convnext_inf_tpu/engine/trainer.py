@@ -154,6 +154,15 @@ def make_train_step(
     compute_dtype = jnp.bfloat16 if train_cfg.bf16_compute else jnp.float32
     frontend = LogMelFrontend(model_cfg.frontend, compute_dtype=compute_dtype)
     use_mixup = train_cfg.mixup_alpha > 0
+    # GSPMD has no partitioning rule for the Mosaic custom calls the fused
+    # training blocks lower to, so on a multi-device mesh the trunk must run
+    # under shard_map (each device executes the kernels on its local batch
+    # shard) - the same treatment the sharded Evaluator gives the fused eval
+    # kernels. The prologue (waveform augs, frontend, bn0 batch stats,
+    # SpecAugment, mixup) stays global: it is pure XLA, and bn0's batch
+    # statistics then reduce over the GLOBAL batch exactly like the
+    # unsharded path.
+    use_shard_map = mesh.size > 1 and model_cfg.fused_train_blocks
 
     def loss_and_aux(params, waveform, target, key):
         mix_key, fwd_key = jax.random.split(key)
@@ -167,6 +176,53 @@ def make_train_step(
         )
         loss = loss_fn(out, {"target": target})
         return loss, new_bn
+
+    if use_shard_map:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from audioset_convnext_inf_tpu.models import layers as L
+
+        def _trunk_loss(params, x, target, dp_key):
+            # Per-shard drop-path stream (fold_in by device index) - faithful
+            # to the reference's per-rank DDP seeds (main.py:413). Everything
+            # batch-coupled (augs, bn0 stats, SpecAugment, mixup) was already
+            # applied globally upstream of the shard_map boundary.
+            local_key = jax.random.fold_in(dp_key, jax.lax.axis_index("data"))
+            emb = F.forward_features(x, params, model_cfg, train_key=local_key)
+            logits = L.linear(
+                emb, params["head"]["w"], params["head"]["b"]
+            ).astype(jnp.float32)
+            out = {"clipwise_output": jax.nn.sigmoid(logits),
+                   "clipwise_logits": logits}
+            # equal shard sizes => pmean of local means == global mean; the
+            # psum also gives shard_map's AD the transpose it needs to
+            # all-reduce the parameter gradients (DDP semantics)
+            return jax.lax.pmean(loss_fn(out, {"target": target}), "data")
+
+        _trunk_loss = shard_map(
+            _trunk_loss, mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P()),
+            out_specs=P(), check_vma=False,
+        )
+
+        def loss_and_aux(params, waveform, target, key):  # noqa: F811
+            mix_key, fwd_key = jax.random.split(key)
+            mixup_lambda = None
+            if use_mixup:
+                mixup_lambda = get_mixup_lambda(
+                    mix_key, waveform.shape[0], train_cfg.mixup_alpha
+                )
+                target = do_mixup(target, mixup_lambda)
+            # mirror forward_train's internal key split so the global
+            # augment/SpecAugment draws match the unsharded path bit-for-bit
+            _, aug_key, dp_key = jax.random.split(fwd_key, 3)
+            x, new_bn = F._frontend_and_bn0(
+                waveform, params, model_cfg, frontend, True, aug_key,
+                mixup_lambda, compute_dtype,
+            )
+            loss = _trunk_loss(params, x, target, dp_key)
+            return loss, new_bn
 
     def train_step(params, opt_state, waveform, target, step_idx, key):
         step_key = jax.random.fold_in(key, step_idx)

@@ -160,3 +160,51 @@ def test_sharded_eval_with_fused_stages_matches_unsharded(rng, monkeypatch):
     y = jax.jit(lambda p, x: F.forward_features(x, p, cfg))(params_r, xs)
     y1 = F.forward_features(x, params, cfg)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y1), atol=1e-5)
+
+
+def test_fused_train_shard_map_step_matches_single_device(monkeypatch):
+    """cfg.fused_train_blocks on a multi-device mesh: the trainer routes the
+    trunk through shard_map (GSPMD cannot partition the Mosaic custom calls
+    of the fused forward/backward kernels), with the prologue - augs,
+    frontend, bn0 batch statistics, SpecAugment - still global. One step
+    must produce the same loss and updated params as the same step on one
+    device (where the standard jit path runs the same fused kernels).
+
+    Geometry: T=240 frames -> stage heights 62/31/15/7; bwd tiles (5,1)/(4,2)
+    satisfy the backward DMA classes on both fused stages, so stages 3-4
+    really run the custom-VJP kernels inside shard_map (per-device batch 16
+    passes the %16 gate). drop_path=0: the per-shard drop-path streams are
+    the one intentionally rank-local draw (reference per-rank DDP seeds).
+    A 2-device mesh keeps the interpret-mode kernel cost down - the sharding
+    mechanics (shard_map closure, pmean, psum gradient transpose) are
+    device-count-independent and the 8-way layout is covered by
+    test_sharded_train_step_matches_single_device.
+    """
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.engine.trainer import TrainConfig, Trainer
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    monkeypatch.setattr(F, "_FUSED_ON_CPU", True)
+    monkeypatch.setattr(F, "_BWD_STAGE_TILES", {2: (5, 1), 3: (4, 2)})
+
+    cfg = ConvNeXtConfig(
+        name="dp_fused_train", depths=(1, 1, 1, 1), dims=(32, 64, 128, 256),
+        drop_path_rate=0.0, block_impl="xla_approx", fused_train_blocks=True,
+    )
+    tc = TrainConfig(max_lr=1e-3, total_steps=100, mixup_alpha=0.0, seed=11)
+    params = F.init_params(jax.random.PRNGKey(2), cfg)
+
+    rng = np.random.RandomState(9)
+    wav = (rng.randn(32, 239 * 320) * 0.1).astype(np.float32)  # 240 frames
+    tgt = (rng.rand(32, cfg.num_classes) < 0.05).astype(np.float32)
+
+    losses, flats = [], []
+    for devs in (jax.devices()[:1], jax.devices()[:2]):
+        mesh = get_mesh(devs)
+        tr = Trainer(cfg, tc, jax.tree_util.tree_map(jnp.array, params), mesh=mesh)
+        losses.append(tr.step(wav, tgt))
+        flats.append(jax.tree_util.tree_leaves(tr.state.params))
+
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+    for a, b in zip(flats[0], flats[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
