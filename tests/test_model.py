@@ -94,3 +94,61 @@ def test_mixup_halves_batch():
     x = jnp.arange(8.0)[:, None] * jnp.ones((8, 3))
     mixed = do_mixup(x, lam)
     assert mixed.shape == (4, 3)
+
+
+def test_batch_norm_train_forward_and_grad_vs_torch():
+    """Op-level oracle for the bn0 train path: training-mode BatchNorm over
+    the mel axis (batch statistics + running-stat update + backward through
+    the batch-stat normalization) vs torch.nn.BatchNorm2d. Complements
+    test_full_model_gradient_parity, which runs eval-mode bn0 only
+    (reference train-mode forward can't be driven RNG-free)."""
+    import torch
+
+    from audioset_convnext_inf_tpu.models import layers as L
+
+    rng = np.random.RandomState(4)
+    b, t, m = 6, 20, 16
+    x = (rng.randn(b, t, m) * 1.7 + 0.3).astype(np.float32)
+    scale = (1.0 + 0.1 * rng.randn(m)).astype(np.float32)
+    bias = (0.1 * rng.randn(m)).astype(np.float32)
+    run_mean = rng.randn(m).astype(np.float32)
+    run_var = (0.5 + rng.rand(m)).astype(np.float32)
+    r = rng.randn(b, t, m).astype(np.float32)  # cotangent seed
+
+    # torch: BatchNorm2d over channels = mel, via the reference's transpose
+    # trick (convnext.py:304-306) on a (B, 1, T, M) image
+    bn = torch.nn.BatchNorm2d(m, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(scale))
+        bn.bias.copy_(torch.from_numpy(bias))
+        bn.running_mean.copy_(torch.from_numpy(run_mean))
+        bn.running_var.copy_(torch.from_numpy(run_var))
+    bn.train()
+    xt = torch.from_numpy(x[:, None, :, :]).requires_grad_(True)
+    yt = bn(xt.transpose(1, 3)).transpose(1, 3)
+    (yt.squeeze(1) * torch.from_numpy(r)).sum().backward()
+
+    params = {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias),
+              "mean": jnp.asarray(run_mean), "var": jnp.asarray(run_var)}
+
+    def f(p, x):
+        y, new_stats = L.batch_norm_train(x, p, eps=1e-5, axis=-1)
+        return jnp.sum(y * jnp.asarray(r)), new_stats
+
+    (val, new_stats), grads = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+        params, jnp.asarray(x)
+    )
+    y_ours, _ = L.batch_norm_train(jnp.asarray(x), params, eps=1e-5, axis=-1)
+
+    np.testing.assert_allclose(np.asarray(y_ours), yt.detach().numpy().squeeze(1),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_stats["mean"]),
+                               bn.running_mean.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_stats["var"]),
+                               bn.running_var.numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(grads[1]),
+                               xt.grad.numpy().squeeze(1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grads[0]["scale"]),
+                               bn.weight.grad.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grads[0]["bias"]),
+                               bn.bias.grad.numpy(), atol=1e-4)
