@@ -6,6 +6,7 @@ integrated forward_features fused-stage path vs the unfused Pallas path.
 """
 
 import dataclasses
+import warnings
 
 import numpy as np
 import pytest
@@ -197,11 +198,17 @@ def test_bf16_serving_config_defaults():
     cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(16, 32, 64, 128),
                          drop_path_rate=0.0)
     params = F.init_params(jax.random.PRNGKey(0), cfg)
-    m = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16)
+    # the auto-switch is audible: an explicitly-passed block_impl="xla" is
+    # indistinguishable from the dataclass default, so the API warns
+    with pytest.warns(UserWarning, match="auto-switched to 'xla_approx'"):
+        m = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16)
     assert m.cfg.block_impl == "xla_approx"
-    m2 = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16, auto_fast_serving=False)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning when the caller opted out
+        m2 = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16,
+                      auto_fast_serving=False)
+        m3 = ConvNeXt(cfg, params)  # f32 keeps the exact-erf parity path
     assert m2.cfg.block_impl == "xla"
-    m3 = ConvNeXt(cfg, params)  # f32 keeps the exact-erf parity path
     assert m3.cfg.block_impl == "xla"
 
     assert set(F._FUSED_STAGE_TILES) == {2, 3}
