@@ -203,11 +203,14 @@ def test_bf16_serving_config_defaults():
     with pytest.warns(UserWarning, match="auto-switched to 'xla_approx'"):
         m = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16)
     assert m.cfg.block_impl == "xla_approx"
-    with warnings.catch_warnings():
-        warnings.simplefilter("error")  # no warning when the caller opted out
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")  # record; only the targeted message fails
         m2 = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16,
                       auto_fast_serving=False)
         m3 = ConvNeXt(cfg, params)  # f32 keeps the exact-erf parity path
+    # no auto-switch warning when the caller opted out (unrelated warnings,
+    # e.g. future JAX deprecations, must not fail this test)
+    assert not [w for w in caught if "auto-switched to 'xla_approx'" in str(w.message)]
     assert m2.cfg.block_impl == "xla"
     assert m3.cfg.block_impl == "xla"
 
