@@ -102,11 +102,15 @@ def _kernel(x_any, dww_ref, dwb_ref, lns_ref, lnb_ref, w1_ref, b1_ref,
                     x_any.at[pl.ds(h * HT - P, HT_LAST + P), :, b],
                     dst.at[pl.ds(0, HT_LAST + P), pl.ds(P, W)], sem.at[slot]))
 
-            @pl.when(jnp.logical_and(h > 0, h < n_h - 1))
-            def _():
-                op(pltpu.make_async_copy(
-                    x_any.at[pl.ds(h * HT - P, HT + 2 * P), :, b],
-                    dst.at[pl.ds(0, HT + 2 * P), pl.ds(P, W)], sem.at[slot]))
+            # interior class exists only at n_h >= 3; at n_h == 2 its
+            # (HT+2P)-row descriptor can exceed H statically (trace-time
+            # shape error) even though the predicate is never true
+            if n_h >= 3:
+                @pl.when(jnp.logical_and(h > 0, h < n_h - 1))
+                def _():
+                    op(pltpu.make_async_copy(
+                        x_any.at[pl.ds(h * HT - P, HT + 2 * P), :, b],
+                        dst.at[pl.ds(0, HT + 2 * P), pl.ds(P, W)], sem.at[slot]))
             return tile - (tile // n_h) * n_h
 
         def dma_start(tile, slot):

@@ -222,6 +222,22 @@ def test_bf16_serving_config_defaults():
             assert tile[2] >= 1  # wch (stencil w-chunk)
 
 
+def test_fused_block_two_tile_padless(rng):
+    """n_h == 2 (H = 2*ht): the padless DMA path has only first/last tile
+    classes - the interior class's descriptor would be statically invalid
+    (HT+2P rows > H) and must not be constructed. This is the 1-s-clip
+    flagship stage-3 geometry (H=6, ht=3) used by dryrun_multichip."""
+    h, w, b, c = 6, 14, 16, 128
+    p = _block_params(rng, c)
+    x = jnp.asarray(rng.randn(h, w, b, c) * 0.5, jnp.float32)
+    y = fused_block_hwbc(
+        x, p["dw_w"], p["dw_b"], p["ln_scale"], p["ln_bias"],
+        p["w1"], p["b1"], p["w2"], p["b2"], p["gamma"], ht=3, mrows=1, wch=14)
+    ref = _reference_block(jnp.transpose(x, (2, 0, 1, 3)), p)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(y, (2, 0, 1, 3))), np.asarray(ref), atol=3e-5)
+
+
 def test_fused_block_single_tile(rng):
     """H < ht degenerates to one pipeline tile (n_h == 1): the steady-state
     region never fires and the stencil/tail run in separate boundary steps."""
