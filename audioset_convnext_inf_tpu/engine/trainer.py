@@ -294,14 +294,24 @@ class Trainer:
             opt_state = jax.device_put(opt_state, replicate(self.mesh))
         self.state = TrainState(params=params, opt_state=opt_state, step=step)
 
-    def step(self, waveform: np.ndarray, target: np.ndarray) -> float:
+    def step_async(self, waveform: np.ndarray, target: np.ndarray):
+        """Dispatch one step; return the loss as a DEVICE scalar (no sync).
+
+        The returned ``jax.Array`` keeps the dispatch queue full - fetching
+        it (``float()``) is the caller's sync point. Through the remote
+        relay a per-step scalar fetch costs ~4 s (NOTES.md traps), so the
+        loop below syncs only at ``log_interval`` boundaries.
+        """
         wav = jax.device_put(np.asarray(waveform, np.float32), self._sharding)
         tgt = jax.device_put(np.asarray(target, np.float32), self._sharding)
         params, opt_state, loss = self._step_fn(
             self.state.params, self.state.opt_state, wav, tgt, self.state.step, self._key
         )
         self.state = TrainState(params=params, opt_state=opt_state, step=self.state.step + 1)
-        return float(loss)
+        return loss
+
+    def step(self, waveform: np.ndarray, target: np.ndarray) -> float:
+        return float(self.step_async(waveform, target))
 
     def train(
         self,
@@ -333,10 +343,10 @@ class Trainer:
                 checkpoint_fn(self, it)
             for attempt in range(max_step_retries + 1):
                 try:
-                    loss = self.step(batch["waveform"], batch["target"])
-                    if not np.isfinite(loss):
-                        # deterministic, no point retrying - surface loudly
-                        logging.warning("non-finite loss %.4f at iter %d", loss, it)
+                    # async dispatch: the loss stays on device and the queue
+                    # stays full; we sync (and surface deferred device
+                    # errors / non-finite losses) at log_interval boundaries
+                    loss = self.step_async(batch["waveform"], batch["target"])
                     break
                 except Exception:
                     if attempt >= max_step_retries:
@@ -348,10 +358,24 @@ class Trainer:
                     logging.exception("train step error at iter %d, retrying", it)
             self.last_sampler_state = batch.get("sampler_state")
             if on_step is not None:
-                on_step(it, loss)
+                on_step(it, float(loss))  # callback contract: a host float
             if it % log_interval == 0:
+                try:
+                    lossf = float(loss)  # sync point for this log window
+                except Exception:
+                    # a deferred async error from an earlier dispatch lands
+                    # here: same emergency-checkpoint path as a step failure
+                    logging.exception("deferred device error surfaced at iter "
+                                      "%d; writing emergency checkpoint", it)
+                    if checkpoint_fn is not None:
+                        checkpoint_fn(self, it)
+                    raise
+                if not np.isfinite(lossf):
+                    # deterministic (params already poisoned persist to the
+                    # next window) - surface loudly, as the reference does
+                    logging.warning("non-finite loss %.4f at iter %d", lossf, it)
                 logging.info(
-                    "iteration %d loss %.4f (%.2f s)", it, loss, time.time() - t0
+                    "iteration %d loss %.4f (%.2f s)", it, lossf, time.time() - t0
                 )
                 t0 = time.time()
             if early_stop is not None and self.state.step >= early_stop:
