@@ -6,8 +6,11 @@
 Endpoints (stdlib http.server, threaded; dynamic batching underneath):
 
   GET  /healthz              -> {"status": "ok", ...service stats}
-  POST /tag                  -> body: WAV bytes or raw float32 PCM
-                                (Content-Type: audio/wav | application/octet-stream)
+  POST /tag                  -> body: WAV bytes, raw float32 PCM, or raw
+                                int16 PCM @32 kHz (Content-Type: audio/wav |
+                                application/octet-stream |
+                                application/pcm-int16); 16-bit WAV stays
+                                int16 to the device (half the H2D bytes)
                                 response: {"labels": [...], "probs": [...],
                                            "indexes": [...]}
   POST /embed                -> same body; response: {"embedding": [768 floats]}
@@ -52,7 +55,8 @@ def main(argv=None) -> int:
         print("WARNING: no checkpoint given - serving random weights")
 
     service = InferenceService(model, batch_size=args.batch_size,
-                               max_wait_ms=args.max_wait_ms).start()
+                               max_wait_ms=args.max_wait_ms,
+                               pcm_int16=True).start()
     labels = read_audioset_label_tags()
 
     def decode_audio(body: bytes, content_type: str) -> np.ndarray:
@@ -65,10 +69,17 @@ def main(argv=None) -> int:
             )
 
             sr, data = wavfile.read(io.BytesIO(body))
+            # the common serving case (16-bit mono 32 kHz WAV) stays int16
+            # end-to-end: the batcher ships PCM and the device decodes,
+            # halving host->device bytes (engine/service.py submit)
+            if data.dtype == np.int16 and data.ndim == 1 and sr == 32000:
+                return data
             x = normalize_pcm(data)  # int16/int32/uint8/float -> [-1,1] mono
             if sr != 32000:
                 x = resample_poly(x, sr, 32000)
             return x
+        if "pcm-int16" in content_type:  # raw little-endian int16 PCM @32k
+            return np.frombuffer(body, dtype="<i2")
         return np.frombuffer(body, dtype=np.float32)
 
     class Handler(BaseHTTPRequestHandler):

@@ -32,11 +32,13 @@ class InferenceService:
         batch_size: int = 32,
         max_wait_ms: float = 20.0,
         clip_samples: int = CLIP_SAMPLES,
+        pcm_int16: bool = False,
     ):
         self.model = model
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
         self.clip_samples = clip_samples
+        self.pcm_int16 = pcm_int16
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -63,13 +65,25 @@ class InferenceService:
         self.stop()
 
     def _warmup(self) -> None:
+        # compile the entry dtypes up front so no first request eats the
+        # compile; int16-PCM batches are opt-in (pcm_int16=True) since the
+        # all-int16 batch shape is its own compiled program
         self.model.forward(np.zeros((self.batch_size, self.clip_samples), np.float32))
+        if self.pcm_int16:
+            self.model.forward(np.zeros((self.batch_size, self.clip_samples), np.int16))
 
     # -- API -----------------------------------------------------------------
     def submit(self, waveform: np.ndarray) -> Future:
         """Queue one clip (any length; padded/cropped to clip_samples).
-        Returns a Future resolving to {'clipwise_output', 'clipwise_logits'}."""
-        wav = np.asarray(waveform, np.float32).reshape(-1)
+        Returns a Future resolving to {'clipwise_output', 'clipwise_logits'}.
+
+        int16 PCM clips stay int16 through the batcher and decode on the
+        device inside the jitted forward (models/api.py) - half the
+        host->device bytes of float32. Anything else converts to float32."""
+        wav = np.asarray(waveform)
+        if wav.dtype != np.int16:
+            wav = wav.astype(np.float32)
+        wav = wav.reshape(-1)
         if len(wav) < self.clip_samples:
             wav = np.pad(wav, (0, self.clip_samples - len(wav)))
         else:
@@ -103,7 +117,14 @@ class InferenceService:
 
     def _run_batch(self, batch: List) -> None:
         n = len(batch)
-        wavs = np.stack([b[0] for b in batch])
+        if all(b[0].dtype == np.int16 for b in batch):
+            wavs = np.stack([b[0] for b in batch])  # PCM: device decodes
+        else:  # mixed-dtype batch: promote int16 rows on host
+            wavs = np.stack([
+                b[0].astype(np.float32) * (1.0 / 32767.0)
+                if b[0].dtype == np.int16 else b[0]
+                for b in batch
+            ])
         if n < self.batch_size:  # fixed shape -> single compiled program
             wavs = np.pad(wavs, ((0, self.batch_size - n), (0, 0)))
         try:

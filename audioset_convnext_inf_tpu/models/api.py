@@ -18,7 +18,6 @@ factory installs a correct audio stem with dims[0] output channels.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -62,19 +61,22 @@ class ConvNeXt:
         self.params = params
         self.compute_dtype = compute_dtype
         self.frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
-        self._jit_forward = jax.jit(
-            functools.partial(F.forward, cfg=cfg, frontend=self.frontend, compute_dtype=compute_dtype)
-        )
-        self._jit_scene = jax.jit(
-            functools.partial(
-                F.forward_scene_embeddings, cfg=cfg, frontend=self.frontend, compute_dtype=compute_dtype
-            )
-        )
-        self._jit_frame = jax.jit(
-            functools.partial(
-                F.forward_frame_embeddings, cfg=cfg, frontend=self.frontend, compute_dtype=compute_dtype
-            )
-        )
+
+        def _with_pcm_decode(fn):
+            # int16 waveforms decode on-device (x / 32767, the reference's
+            # utilities.py:226-227 semantics) inside the jitted program:
+            # shipping PCM halves host->device bandwidth on the serving path.
+            # dtype is static under jit, so the branch costs nothing.
+            def wrapped(params, waveform):
+                if waveform.dtype == jnp.int16:
+                    waveform = waveform.astype(jnp.float32) * (1.0 / 32767.0)
+                return fn(params, waveform, cfg=cfg, frontend=self.frontend,
+                          compute_dtype=compute_dtype)
+            return wrapped
+
+        self._jit_forward = jax.jit(_with_pcm_decode(F.forward))
+        self._jit_scene = jax.jit(_with_pcm_decode(F.forward_scene_embeddings))
+        self._jit_frame = jax.jit(_with_pcm_decode(F.forward_frame_embeddings))
 
     # -- reference API ------------------------------------------------------
     def __call__(self, waveform) -> Dict[str, jnp.ndarray]:

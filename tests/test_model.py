@@ -152,3 +152,19 @@ def test_batch_norm_train_forward_and_grad_vs_torch():
                                bn.weight.grad.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(grads[0]["bias"]),
                                bn.bias.grad.numpy(), atol=1e-4)
+
+
+def test_int16_forward_decodes_on_device():
+    """model.forward(int16 PCM) must equal forward(float32 pcm/32767): the
+    decode happens inside the jitted program (api.py _with_pcm_decode),
+    halving host->device bytes on the serving path."""
+    m = convnext_tiny(drop_path_rate=0.0, seed=0)
+    pcm = (np.random.RandomState(0).randn(1, 32000) * 8000).astype(np.int16)
+    out16 = np.asarray(m.forward(pcm)["clipwise_logits"])
+    out32 = np.asarray(
+        m.forward(pcm.astype(np.float32) * (1.0 / 32767.0))["clipwise_logits"])
+    np.testing.assert_allclose(out16, out32, atol=1e-5)
+    emb16 = np.asarray(m.forward_scene_embeddings(pcm))
+    emb32 = np.asarray(
+        m.forward_scene_embeddings(pcm.astype(np.float32) * (1.0 / 32767.0)))
+    np.testing.assert_allclose(emb16, emb32, atol=1e-4)

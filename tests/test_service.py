@@ -108,39 +108,88 @@ def test_http_server_end_to_end(tmp_path):
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
 
-    # run main() in a thread with a monkeypatched model factory
-    orig = serve_mod.main
+    # run main() in a thread with a monkeypatched model factory. main()
+    # never returns (serve_forever), so the patch CANNOT be restored from
+    # inside the thread - restore it from the test body once the server is
+    # up, or the fake factory leaks into every later test in the process.
+    import audioset_convnext_inf_tpu.models as models_mod
+
+    real_factory = models_mod.convnext_tiny
+    models_mod.convnext_tiny = lambda **kw: model
 
     def run():
-        import audioset_convnext_inf_tpu.models as models_mod
-
-        real = models_mod.convnext_tiny
-        models_mod.convnext_tiny = lambda **kw: model
-        try:
-            orig(["--port", str(port), "--batch-size", "2", "--max-wait-ms", "5"])
-        finally:
-            models_mod.convnext_tiny = real
+        serve_mod.main(["--port", str(port), "--batch-size", "2", "--max-wait-ms", "5"])
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
 
-    deadline = time.time() + 120
-    health = None
-    while time.time() < deadline:
-        try:
-            with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
-                health = json.load(r)
-            break
-        except Exception:
-            time.sleep(0.5)
-    assert health and health["status"] == "ok"
+    try:
+        deadline = time.time() + 120
+        health = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                    health = json.load(r)
+                break
+            except Exception:
+                time.sleep(0.5)
+        assert health and health["status"] == "ok"
 
-    pcm = (np.random.RandomState(0).randn(32000) * 0.1).astype(np.float32).tobytes()
-    req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/tag", data=pcm,
-        headers={"Content-Type": "application/octet-stream"}, method="POST",
-    )
-    with urllib.request.urlopen(req, timeout=120) as r:
-        out = json.load(r)
-    assert len(out["labels"]) == 10 and len(out["probs"]) == 10
-    assert all(0.0 <= p <= 1.0 for p in out["probs"])
+        pcm = (np.random.RandomState(0).randn(32000) * 0.1).astype(np.float32).tobytes()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tag", data=pcm,
+            headers={"Content-Type": "application/octet-stream"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert len(out["labels"]) == 10 and len(out["probs"]) == 10
+        assert all(0.0 <= p <= 1.0 for p in out["probs"])
+    finally:
+        models_mod.convnext_tiny = real_factory
+
+
+class _DtypeRecordingModel:
+    """Fake model recording the dtype of each forward batch."""
+
+    def __init__(self):
+        self.dtypes = []
+
+    def forward(self, wav):
+        self.dtypes.append(wav.dtype)
+        if wav.dtype == np.int16:  # mirror the device-side decode
+            wav = wav.astype(np.float32) * (1.0 / 32767.0)
+        probs = np.tile(np.abs(wav).mean(axis=1, keepdims=True), (1, 527))
+        return {"clipwise_output": probs, "clipwise_logits": probs}
+
+
+def test_service_int16_pcm_stays_int16_through_batcher():
+    """An all-int16 batch must reach the model as int16 (device decodes -
+    half the H2D bytes); results must match the float32 submission path."""
+    model = _DtypeRecordingModel()
+    with InferenceService(model, batch_size=4, max_wait_ms=50,
+                          clip_samples=100, pcm_int16=True) as svc:
+        futs = [svc.submit(np.full(100, 16384, np.int16)) for _ in range(4)]
+        res16 = [f.result(timeout=10) for f in futs]
+        out32 = svc.tag(np.full(100, 16384.0 / 32767.0, np.float32), timeout=10)
+    # warmups: float32 then int16; then the int16 batch, then the f32 one
+    assert model.dtypes[:2] == [np.float32, np.int16]
+    assert np.dtype(np.int16) in model.dtypes[2:]
+    np.testing.assert_allclose(
+        res16[0]["clipwise_output"], out32["clipwise_output"], atol=1e-6)
+
+
+def test_service_mixed_dtype_batch_promotes_on_host():
+    """int16 + float32 clips coalesced into one batch promote host-side
+    (scaled to [-1, 1]) so the one compiled float32 program still runs."""
+    model = _DtypeRecordingModel()
+    svc = InferenceService(model, batch_size=2, max_wait_ms=200, clip_samples=100)
+    svc.start()
+    try:
+        f1 = svc.submit(np.full(100, 16384, np.int16))
+        f2 = svc.submit(np.full(100, 0.5, np.float32))
+        r1, r2 = f1.result(timeout=10), f2.result(timeout=10)
+    finally:
+        svc.stop()
+    assert all(d == np.float32 for d in model.dtypes)
+    np.testing.assert_allclose(r1["clipwise_output"][0], 16384.0 / 32767.0, atol=1e-6)
+    np.testing.assert_allclose(r2["clipwise_output"][0], 0.5, atol=1e-6)
