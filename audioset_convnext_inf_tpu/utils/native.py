@@ -13,12 +13,22 @@ import ctypes
 import functools
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
+
+# int16 -> float32 scale, rounded to float32 EXACTLY like the native kernel's
+# `1.0f / 32767.0f` (audio_host.cpp:22). The numpy fallbacks multiply by this
+# f32 constant rather than dividing in f64 so fallback and native results are
+# BIT-IDENTICAL - a loader thread that races the first `_load()` must not
+# produce different sample values than its siblings (that skew was observed
+# as a ~1-ulp batch divergence breaking train-run determinism).
+_INT16_SCALE = np.float32(1.0 / 32767.0)
 
 
 def _native_dir() -> str:
@@ -32,35 +42,49 @@ def _load() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
         return _LIB
-    _TRIED = True
-    so_path = os.path.join(_native_dir(), "libaudiohost.so")
-    if not os.path.exists(so_path):
-        try:
-            subprocess.run(
-                ["make", "-C", _native_dir()],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-        except Exception:
-            return None
-    if not os.path.exists(so_path):
-        return None
-    try:
-        lib = ctypes.CDLL(so_path)
-    except OSError:
-        return None
+    with _LOAD_LOCK:
+        return _load_locked()
 
-    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
-    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-    i64 = ctypes.c_int64
-    lib.int16_to_float32.argtypes = [i16p, f32p, i64]
-    lib.float32_to_int16.argtypes = [f32p, i16p, i64]
-    lib.decode_batch_int16.argtypes = [i16p, i64, i64, f32p, i64]
-    lib.decimate_int16_to_float32.argtypes = [i16p, i64, i64, f32p]
-    lib.omp_thread_count.restype = ctypes.c_int
-    _LIB = lib
-    return _LIB
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    """Build/dlopen under _LOAD_LOCK. _TRIED flips only AFTER the attempt
+    finishes: the old check-then-act (set _TRIED, then spend seconds in make/
+    dlopen) sent every concurrent first-use caller down the numpy fallback,
+    which made first-epoch loader batches nondeterministic."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:  # lost the race to another loader thread
+        return _LIB
+    try:
+        so_path = os.path.join(_native_dir(), "libaudiohost.so")
+        if not os.path.exists(so_path):
+            try:
+                subprocess.run(
+                    ["make", "-C", _native_dir()],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        if not os.path.exists(so_path):
+            return None
+        try:
+            lib = ctypes.CDLL(so_path)
+        except OSError:
+            return None
+
+        i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i64 = ctypes.c_int64
+        lib.int16_to_float32.argtypes = [i16p, f32p, i64]
+        lib.float32_to_int16.argtypes = [f32p, i16p, i64]
+        lib.decode_batch_int16.argtypes = [i16p, i64, i64, f32p, i64]
+        lib.decimate_int16_to_float32.argtypes = [i16p, i64, i64, f32p]
+        lib.omp_thread_count.restype = ctypes.c_int
+        _LIB = lib
+        return _LIB
+    finally:
+        _TRIED = True
 
 
 def available() -> bool:
@@ -71,7 +95,7 @@ def int16_to_float32(x: np.ndarray) -> np.ndarray:
     lib = _load()
     x = np.ascontiguousarray(x, np.int16)
     if lib is None:
-        return (x / 32767.0).astype(np.float32)
+        return x.astype(np.float32) * _INT16_SCALE
     out = np.empty(x.shape, np.float32)
     lib.int16_to_float32(x.reshape(-1), out.reshape(-1), x.size)
     return out
@@ -81,7 +105,8 @@ def float32_to_int16(x: np.ndarray) -> np.ndarray:
     lib = _load()
     x = np.ascontiguousarray(x, np.float32)
     if lib is None:
-        return (np.clip(x, -1, 1) * 32767.0).astype(np.int16)
+        # f32 multiply + C-truncation, matching the native kernel bitwise
+        return (np.clip(x, -1, 1) * np.float32(32767.0)).astype(np.int16)
     out = np.empty(x.shape, np.int16)
     lib.float32_to_int16(x.reshape(-1), out.reshape(-1), x.size)
     return out
@@ -93,7 +118,7 @@ def decode_batch_int16(x: np.ndarray, out_len: int) -> np.ndarray:
     x = np.ascontiguousarray(x, np.int16)
     n, src_len = x.shape
     if lib is None:
-        dec = (x / 32767.0).astype(np.float32)
+        dec = x.astype(np.float32) * _INT16_SCALE
         if src_len >= out_len:
             return np.ascontiguousarray(dec[:, :out_len])
         return np.pad(dec, ((0, 0), (0, out_len - src_len)))
@@ -106,7 +131,7 @@ def decimate_int16_to_float32(x: np.ndarray, stride: int) -> np.ndarray:
     lib = _load()
     x = np.ascontiguousarray(x, np.int16)
     if lib is None:
-        return (x[::stride] / 32767.0).astype(np.float32)
+        return x[::stride].astype(np.float32) * _INT16_SCALE
     out_n = (len(x) + stride - 1) // stride
     out = np.empty(out_n, np.float32)
     lib.decimate_int16_to_float32(x, len(x), stride, out)

@@ -52,6 +52,65 @@ def test_audio_io_uses_same_semantics(rng):
     )
 
 
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_numpy_fallbacks_bit_identical_to_native(rng, monkeypatch):
+    """Fallback and native decode must agree BITWISE, not just to 1e-7.
+
+    A loader thread that loses the first-use `_load()` race (or a build-less
+    host) takes the numpy path; if that path rounds differently (f64 divide
+    vs the kernel's f32 reciprocal multiply, audio_host.cpp:22) the decoded
+    batch differs by ~1 ulp and training stops being run-to-run
+    deterministic - observed as the TRAIN_E2E divergence at step 2."""
+    x = rng.randint(-32768, 32768, (4, 50000)).astype(np.int16)
+    f = (rng.randn(50000) * 1.2).astype(np.float32)
+    nat = {
+        "i2f": native.int16_to_float32(x),
+        "batch": native.decode_batch_int16(x, 60000),
+        "dec": native.decimate_int16_to_float32(x[0], 4),
+        "f2i": native.float32_to_int16(f),
+    }
+    monkeypatch.setattr(native, "_load", lambda: None)
+    np.testing.assert_array_equal(native.int16_to_float32(x), nat["i2f"])
+    np.testing.assert_array_equal(native.decode_batch_int16(x, 60000), nat["batch"])
+    np.testing.assert_array_equal(native.decimate_int16_to_float32(x[0], 4), nat["dec"])
+    np.testing.assert_array_equal(native.float32_to_int16(f), nat["f2i"])
+
+
+def test_concurrent_first_use_is_deterministic(rng, monkeypatch):
+    """All threads racing the very first `_load()` must produce identical
+    samples. The pre-fix code set _TRIED before the (slow) build/dlopen, so
+    racing threads silently took the fallback for whole batches."""
+    import threading
+    import time
+
+    monkeypatch.setattr(native, "_LIB", None)
+    monkeypatch.setattr(native, "_TRIED", False)
+    real_cdll = native.ctypes.CDLL
+
+    def slow_cdll(path, *a, **kw):  # widen the race window to ~200 ms
+        time.sleep(0.2)
+        return real_cdll(path, *a, **kw)
+
+    monkeypatch.setattr(native.ctypes, "CDLL", slow_cdll)
+    x = rng.randint(-32768, 32768, 32000).astype(np.int16)
+    results, errs = [None] * 8, []
+
+    def work(i):
+        try:
+            results[i] = native.int16_to_float32(x)
+        except Exception as e:  # pragma: no cover - surface thread failures
+            errs.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    assert not errs
+    for r in results[1:]:
+        np.testing.assert_array_equal(results[0], r)
+
+
 # ---------------------------------------------------------------------------
 # Round-2 native additions: WAV parse/decode + polyphase resampler
 # ---------------------------------------------------------------------------
