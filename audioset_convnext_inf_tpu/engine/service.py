@@ -10,6 +10,11 @@ Design: one queue -> one batcher thread -> jit forward. Batches close when
 ``batch_size`` requests are waiting or ``max_wait_ms`` elapses, whichever
 comes first - latency-bounded dynamic batching. Long audio is windowed into
 extra batch rows upstream (engine/infer.py::sliding_windows).
+
+The batcher is double-buffered: jax dispatch is async, so the worker
+launches batch N on the device and only then fans batch N-1's results out
+of its futures - the device computes while the host fetches/distributes
+the previous results, instead of idling through every D2H.
 """
 
 from __future__ import annotations
@@ -17,6 +22,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Dict, List, Optional
 
@@ -98,10 +104,17 @@ class InferenceService:
 
     # -- batcher --------------------------------------------------------------
     def _worker(self) -> None:
+        # one batch in flight on the device while the previous batch's
+        # results fetch/fan out on the host (double buffering)
+        pending: deque = deque()
         while not self._stop.is_set():
             try:
-                first = self._queue.get(timeout=0.1)
+                # with results waiting, poll briefly so an idle queue doesn't
+                # hold batch N's futures hostage until batch N+1 arrives
+                first = self._queue.get(timeout=0.002 if pending else 0.1)
             except queue.Empty:
+                if pending:
+                    self._resolve(*pending.popleft())
                 continue
             batch: List = [first]
             deadline = time.perf_counter() + self.max_wait_ms / 1000.0
@@ -113,9 +126,16 @@ class InferenceService:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
-            self._run_batch(batch)
+            out = self._dispatch(batch)
+            if out is not None:
+                pending.append((out, batch))
+            while len(pending) > 1:
+                self._resolve(*pending.popleft())
+        while pending:  # drain on stop
+            self._resolve(*pending.popleft())
 
-    def _run_batch(self, batch: List) -> None:
+    def _dispatch(self, batch: List):
+        """Launch one batch on the device; returns device arrays (async)."""
         n = len(batch)
         if all(b[0].dtype == np.int16 for b in batch):
             wavs = np.stack([b[0] for b in batch])  # PCM: device decodes
@@ -128,16 +148,27 @@ class InferenceService:
         if n < self.batch_size:  # fixed shape -> single compiled program
             wavs = np.pad(wavs, ((0, self.batch_size - n), (0, 0)))
         try:
-            out = self.model.forward(wavs)
+            return self.model.forward(wavs)
+        except Exception as e:  # dispatch failed: fail fast, keep serving
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+            self.stats["batches"] += 1
+            self.stats["clips"] += n
+            return None
+
+    def _resolve(self, out, batch: List) -> None:
+        """Fetch one finished batch to host and fulfil its futures."""
+        try:
             probs = np.asarray(out["clipwise_output"])
             logits = np.asarray(out["clipwise_logits"])
             for i, (_, fut) in enumerate(batch):
                 fut.set_result(
                     {"clipwise_output": probs[i], "clipwise_logits": logits[i]}
                 )
-        except Exception as e:  # propagate to all waiters, keep serving
+        except Exception as e:  # deferred device error surfaces at fetch
             for _, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
         self.stats["batches"] += 1
-        self.stats["clips"] += n
+        self.stats["clips"] += len(batch)

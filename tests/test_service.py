@@ -178,6 +178,24 @@ def test_service_int16_pcm_stays_int16_through_batcher():
         res16[0]["clipwise_output"], out32["clipwise_output"], atol=1e-6)
 
 
+def test_service_pipelined_burst_resolves_all():
+    """Double-buffered batcher (dispatch batch N, then resolve N-1): a burst
+    spanning several batches must resolve every future with the right row,
+    including the final pending batch drained on idle/stop."""
+    class _EchoModel:
+        def forward(self, wav):
+            v = wav[:, :1] * np.ones((1, 527), np.float32)
+            return {"clipwise_output": v, "clipwise_logits": v}
+
+    with InferenceService(_EchoModel(), batch_size=4, max_wait_ms=5,
+                          clip_samples=8) as svc:
+        futs = [svc.submit(np.full(8, float(i), np.float32)) for i in range(10)]
+        for i, f in enumerate(futs):
+            np.testing.assert_allclose(
+                f.result(timeout=10)["clipwise_output"][0], float(i))
+    assert svc.stats["clips"] == 10
+
+
 def test_service_mixed_dtype_batch_promotes_on_host():
     """int16 + float32 clips coalesced into one batch promote host-side
     (scaled to [-1, 1]) so the one compiled float32 program still runs."""
