@@ -313,13 +313,22 @@ def power_spectrogram_conv(
     b, n = waveform.shape
     num_frames = cfg.num_frames(n)
     pad = cfg.n_fft // 2
-    if cfg.center:
-        waveform = jnp.pad(waveform, ((0, 0), (pad, pad)), mode=cfg.pad_mode)
     hop = cfg.hop_length
     kern = _conv_dft_kernel(cfg.n_fft, cfg.win_length, hop)
     j_taps = kern.shape[0]
     blocks_needed = num_frames + j_taps - 1
     padded_len = blocks_needed * hop
+    # One pad covers both the reflect centering AND the block-alignment
+    # tail: every real frame's n_fft window lies within the n + 2*pad
+    # centered samples, and the tail rows of the conv kernel past n_fft are
+    # zero, so the tail's VALUES are inert - extending the reflect pad is
+    # exactly as correct as a second zero-pad, and saves one full
+    # (B, 320k)-sized copy on the serving hot path (~0.5 ms at B=128).
+    if cfg.center:
+        tail = max(0, padded_len - (n + 2 * pad))
+        if cfg.pad_mode != "constant" and pad + tail >= n:
+            tail = 0  # reflect width must stay < n; short clips re-pad below
+        waveform = jnp.pad(waveform, ((0, 0), (pad, pad + tail)), mode=cfg.pad_mode)
     x = waveform
     if padded_len > x.shape[1]:
         x = jnp.pad(x, ((0, 0), (0, padded_len - x.shape[1])))
