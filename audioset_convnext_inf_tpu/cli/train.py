@@ -65,12 +65,15 @@ def main(argv=None) -> int:
                              "backward); needs --block-impl xla_approx and "
                              "batch %% 16 == 0")
     parser.add_argument("--frontend-precision", default=None,
-                        choices=["highest", "high"],
+                        choices=["highest", "high", "default"],
                         help="DFT/mel matmul precision; default 'high' "
                              "(bf16x3, ~15 ms/step faster at B=256) with "
                              "--bf16 whose trunk rounding exceeds the "
                              "residual DFT error, else 'highest' (true-f32 "
-                             "parity recipe)")
+                             "parity recipe). 'default' (single-pass bf16) "
+                             "is the certified SERVING precision; its "
+                             "near-silent-bin log error is uncertified for "
+                             "training gradients, so opt in explicitly")
     args = parser.parse_args(argv)
 
     import jax

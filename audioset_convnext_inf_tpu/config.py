@@ -50,7 +50,12 @@ class FrontendConfig:
     # Matmul precision of the DFT/mel GEMMs: "highest" = true f32 (parity
     # with torchlibrosa, ~1e-4 dB error), "high" = bf16x3 passes (~2x
     # faster, error still below bf16-trunk rounding except in near-silent
-    # bins). Applies to the XLA implementation.
+    # bins), "default" = single-pass bf16 (another ~4.5 ms/B128; the bf16
+    # SERVING default - certified on trained weights at mAP delta 0.0 /
+    # top-1 1.0 / max prob delta 6.5e-3 vs the reference f32 pipeline,
+    # SERVING_PARITY_r04.json; log-domain error in near-silent bins is
+    # real, so keep "high"/"highest" for training and f32 parity work).
+    # Applies to the XLA implementation.
     precision: str = "highest"
     # DFT algorithm: "conv" (default) = the windowed-DFT contraction as one
     # strided 1-D conv over hop-sized blocks (implicit framing: no

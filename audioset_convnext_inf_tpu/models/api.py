@@ -42,11 +42,16 @@ class ConvNeXt:
         if auto_fast_serving and compute_dtype != jnp.float32 and cfg.block_impl == "xla":
             # bf16 serving defaults to the fast tanh-GELU path: its erf-vs-
             # tanh deviation (<=1.1e-3) is below bf16 rounding, and the erf
-            # polynomial alone costs ~45% of forward time on the VPU. Pass
-            # auto_fast_serving=False to keep exact-erf "xla" under bf16
-            # (e.g. to separate bf16-rounding from GELU-flavor effects).
-            # An explicitly-passed block_impl="xla" is indistinguishable from
-            # the dataclass default here, so say what happened out loud.
+            # polynomial alone costs ~45% of forward time on the VPU. The
+            # frontend's DFT/mel GEMMs likewise drop from "highest" (true
+            # f32, the f32-parity recipe) to "default" (single-pass bf16,
+            # ~6% whole-model) - certified on trained flagship weights at
+            # mAP delta 0.0 / top-1 1.0 / max prob delta 6.5e-3 vs the
+            # reference f32 pipeline (SERVING_PARITY_r04.json). Pass
+            # auto_fast_serving=False to keep the exact-erf/"highest" pair
+            # under bf16 (e.g. to separate rounding from flavor effects).
+            # Explicitly-passed defaults are indistinguishable from the
+            # dataclass defaults here, so say what happened out loud.
             import dataclasses
             import warnings
 
@@ -57,6 +62,10 @@ class ConvNeXt:
                 stacklevel=2,
             )
             cfg = dataclasses.replace(cfg, block_impl="xla_approx")
+            if cfg.frontend.precision == "highest":
+                cfg = dataclasses.replace(
+                    cfg, frontend=dataclasses.replace(cfg.frontend,
+                                                      precision="default"))
         self.cfg = cfg
         self.params = params
         self.compute_dtype = compute_dtype

@@ -122,7 +122,7 @@ def main() -> None:
     from audioset_convnext_inf_tpu.ops.frontend import LogMelFrontend
 
     cfg = ConvNeXtConfig(drop_path_rate=0.0, block_impl="xla_approx",
-                         frontend=FrontendConfig(precision="high"))
+                         frontend=FrontendConfig(precision="default"))
     params = F.init_params(jax.random.PRNGKey(0), cfg)
     frontend = LogMelFrontend(cfg.frontend, compute_dtype=jnp.bfloat16)
 

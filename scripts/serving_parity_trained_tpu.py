@@ -173,35 +173,55 @@ def main() -> None:
     map_ref = float(np.nanmean(ref_stats["average_precision"]))
     auc_ref = float(np.nanmean(ref_stats["auc"]))
 
-    serve_cfg = ConvNeXtConfig(
-        drop_path_rate=0.0,
-        block_impl="xla_approx",
-        frontend=FrontendConfig(precision="high"),
-    )
-    ev = Evaluator(params, serve_cfg, mesh=get_mesh(), compute_dtype=jnp.bfloat16)
-    t0 = time.perf_counter()
-    ours = ev.infer_probs(loader)
-    tpu_s = time.perf_counter() - t0
-    stats = M.evaluate_clipwise(ours["clipwise_output"], ours["target"])
-    map_ours = float(np.nanmean(stats["average_precision"]))
-    auc_ours = float(np.nanmean(stats["auc"]))
-
-    delta_map = abs(map_ours - map_ref)
-    max_prob_delta = float(
-        np.max(np.abs(ours["clipwise_output"] - ref_out["clipwise_output"])))
+    # both serving frontend precisions, same trained weights, same clips:
+    # "high" (bf16x3 DFT/mel GEMMs) and "default" (single-pass bf16, ~6%
+    # faster whole-model - adopted as the bf16 serving default in round 4
+    # on the strength of this certificate)
+    per_precision = {}
     top1_ref = np.argmax(ref_out["clipwise_output"], axis=1)
-    top1_ours = np.argmax(ours["clipwise_output"], axis=1)
-    top1_agree = float(np.mean(top1_ref == top1_ours))
     top6_ref = np.argsort(-ref_out["clipwise_output"], axis=1)[:, :6]
-    top6_ours = np.argsort(-ours["clipwise_output"], axis=1)[:, :6]
-    top6_agree = float(
-        np.mean([len(set(a) & set(b)) / 6.0 for a, b in zip(top6_ref, top6_ours)]))
+    for fe_prec in ("high", "default"):
+        serve_cfg = ConvNeXtConfig(
+            drop_path_rate=0.0,
+            block_impl="xla_approx",
+            frontend=FrontendConfig(precision=fe_prec),
+        )
+        ev = Evaluator(params, serve_cfg, mesh=get_mesh(), compute_dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        ours = ev.infer_probs(loader)
+        tpu_s = time.perf_counter() - t0
+        stats = M.evaluate_clipwise(ours["clipwise_output"], ours["target"])
+        map_ours = float(np.nanmean(stats["average_precision"]))
+        auc_ours = float(np.nanmean(stats["auc"]))
+        top1_ours = np.argmax(ours["clipwise_output"], axis=1)
+        top6_ours = np.argsort(-ours["clipwise_output"], axis=1)[:, :6]
+        per_precision[fe_prec] = {
+            "map_serving_bf16_tpu": round(map_ours, 6),
+            "auc_serving_bf16_tpu": round(auc_ours, 6),
+            "map_delta": round(abs(map_ours - map_ref), 6),
+            "max_prob_delta": round(float(np.max(np.abs(
+                ours["clipwise_output"] - ref_out["clipwise_output"]))), 6),
+            "top1_agreement": round(float(np.mean(top1_ref == top1_ours)), 4),
+            "top6_rank_agreement": round(float(np.mean(
+                [len(set(a) & set(b)) / 6.0
+                 for a, b in zip(top6_ref, top6_ours)])), 4),
+            "tpu_seconds": round(tpu_s, 1),
+        }
+        print(f"precision={fe_prec}: {json.dumps(per_precision[fe_prec])}",
+              flush=True)
+
+    shipped = per_precision["default"]  # the bf16 serving default
+    delta_map = shipped["map_delta"]
+    map_ours, auc_ours = shipped["map_serving_bf16_tpu"], shipped["auc_serving_bf16_tpu"]
+    max_prob_delta, top1_agree = shipped["max_prob_delta"], shipped["top1_agreement"]
+    top6_agree, tpu_s = shipped["top6_rank_agreement"], shipped["tpu_seconds"]
 
     result = {
         "metric": "serving_config_map_delta_vs_reference_f32_trained_weights",
         "value": round(delta_map, 6),
         "unit": "mAP delta",
-        "pass": bool(delta_map < 1e-3 and top1_agree >= 0.999),
+        "pass": bool(all(p["map_delta"] < 1e-3 and p["top1_agreement"] >= 0.999
+                         for p in per_precision.values())),
         "detail": {
             "backend": backend,
             "geometry": "convnext_tiny dims 96-768, 28.2M params, 10 s clips, "
@@ -210,7 +230,9 @@ def main() -> None:
                        "16 tone classes) then exported to the reference model "
                        "via jax_params_to_torch_state_dict",
             "serving_config": "bf16 + xla_approx (tanh GELU) + fused stage-3/4 "
-                              "Mosaic kernels + frontend 'high'",
+                              "Mosaic kernels + frontend 'default' (round-4 "
+                              "serving default; 'high' certified alongside)",
+            "frontend_precision_ab": per_precision,
             "eval_set": "256 HELD-OUT clips (16/class, unseen phases/amps/noise)",
             "n_clips": n_clips,
             "batch": batch,
