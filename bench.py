@@ -68,12 +68,16 @@ def main() -> None:
         probs = F.forward(params, wav, cfg, frontend=frontend, compute_dtype=compute_dtype)[
             "clipwise_output"
         ]
-        # fold output back into input: forces sequential execution of the chain
-        return wav + 0.0 * jnp.sum(probs)
+        # fold output back into input: forces sequential execution of the
+        # chain. One-element update on a DONATED buffer so the fold is an
+        # in-place write, not a full (B, 320k) rewrite - the old
+        # `wav + 0.0*sum(probs)` charged ~0.5 ms/iter of pure harness
+        # traffic to every config (round-4 profile).
+        return wav.at[0, 0].add(0.0 * jnp.sum(probs))
 
     # shardings propagate from the device_put input (explicit in_shardings
     # is pathologically slow through the remote relay - see NOTES.md)
-    step = jax.jit(step)
+    step = jax.jit(step, donate_argnums=(1,))
     if n_chips > 1:
         from audioset_convnext_inf_tpu.parallel.mesh import replicate
 
