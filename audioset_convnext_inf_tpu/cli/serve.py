@@ -71,7 +71,12 @@ def main(argv=None) -> int:
             sr, data = wavfile.read(io.BytesIO(body))
             # the common serving case (16-bit mono 32 kHz WAV) stays int16
             # end-to-end: the batcher ships PCM and the device decodes,
-            # halving host->device bytes (engine/service.py submit)
+            # halving host->device bytes (engine/service.py submit).
+            # Scale convention: the device decode divides by 32767 (the
+            # reference's HDF5 utilities.py:226 convention), while the
+            # normalize_pcm fallback below divides by 32768 (soundfile's) -
+            # a deliberate 3.1e-5 gain difference between the two routes,
+            # two orders below the certified serving prob delta (6.5e-3).
             if data.dtype == np.int16 and data.ndim == 1 and sr == 32000:
                 return data
             x = normalize_pcm(data)  # int16/int32/uint8/float -> [-1,1] mono

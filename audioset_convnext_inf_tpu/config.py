@@ -22,6 +22,15 @@ CLIP_SECONDS = 10
 CLIP_SAMPLES = SAMPLE_RATE * CLIP_SECONDS  # 320000
 NUM_CLASSES = 527
 
+# int16 PCM -> float32 decode scale (reference utilities.py:226-227). Every
+# decode site - the native C++ kernels and their numpy fallbacks
+# (utils/native.py), the on-device decodes (models/api.py,
+# engine/evaluator.py) and the service's host promotion (engine/service.py)
+# - multiplies by THIS value in float32. They must stay bit-identical:
+# a site that drifts (f64 divide, /32768, ...) reintroduces the ~1-ulp
+# decode skew that broke train-run determinism in round 4.
+INT16_SCALE = 1.0 / 32767.0
+
 
 @dataclass(frozen=True)
 class FrontendConfig:

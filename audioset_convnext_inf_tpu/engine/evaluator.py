@@ -49,7 +49,9 @@ class Evaluator:
             if waveform.dtype == jnp.int16:
                 # on-device decode (utilities.py:226-227 semantics): halves
                 # host->device transfer vs shipping float32
-                waveform = waveform.astype(jnp.float32) * (1.0 / 32767.0)
+                from audioset_convnext_inf_tpu.config import INT16_SCALE
+
+                waveform = waveform.astype(jnp.float32) * INT16_SCALE
             out = F.forward(params, waveform, cfg, frontend=frontend, compute_dtype=compute_dtype)
             return out["clipwise_output"]
 

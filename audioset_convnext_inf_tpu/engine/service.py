@@ -28,7 +28,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from audioset_convnext_inf_tpu.config import CLIP_SAMPLES
+from audioset_convnext_inf_tpu.config import CLIP_SAMPLES, INT16_SCALE
 
 
 class InferenceService:
@@ -83,10 +83,16 @@ class InferenceService:
         """Queue one clip (any length; padded/cropped to clip_samples).
         Returns a Future resolving to {'clipwise_output', 'clipwise_logits'}.
 
-        int16 PCM clips stay int16 through the batcher and decode on the
-        device inside the jitted forward (models/api.py) - half the
-        host->device bytes of float32. Anything else converts to float32."""
+        With ``pcm_int16=True``, int16 PCM clips stay int16 through the
+        batcher and decode on the device inside the jitted forward
+        (models/api.py) - half the host->device bytes of float32. Without
+        it, int16 promotes here on the host: the int16 batch shape was
+        never warmed, and an un-warmed all-int16 batch would stall the
+        single worker thread on a full jit compile. Anything else converts
+        to float32."""
         wav = np.asarray(waveform)
+        if wav.dtype == np.int16 and not self.pcm_int16:
+            wav = wav.astype(np.float32) * np.float32(INT16_SCALE)
         if wav.dtype != np.int16:
             wav = wav.astype(np.float32)
         wav = wav.reshape(-1)
@@ -141,7 +147,7 @@ class InferenceService:
             wavs = np.stack([b[0] for b in batch])  # PCM: device decodes
         else:  # mixed-dtype batch: promote int16 rows on host
             wavs = np.stack([
-                b[0].astype(np.float32) * (1.0 / 32767.0)
+                b[0].astype(np.float32) * np.float32(INT16_SCALE)
                 if b[0].dtype == np.int16 else b[0]
                 for b in batch
             ])

@@ -326,12 +326,40 @@ class Trainer:
         max_step_retries: int = 2,
     ) -> None:
         """Run the loop. Failure handling (SURVEY.md section 5.3 - the
-        reference has none beyond manual restart): a transient runtime error
-        retries the same batch up to ``max_step_retries`` times, then writes
-        an emergency checkpoint via ``checkpoint_fn`` and re-raises. A
-        non-finite loss (deterministic - retrying cannot help) is logged
-        loudly and training continues, matching the reference's behavior."""
+        reference has none beyond manual restart):
+
+        - a DISPATCH-time error (bad shapes, host OOM, tracer error) retries
+          the same batch up to ``max_step_retries`` times, then attempts an
+          emergency checkpoint (pre-step state, still valid) and re-raises;
+        - a DEVICE-side execution error surfaces at the next sync point
+          (``log_interval`` boundary, or ``on_step``'s host-float fetch).
+          By then up to ``log_interval`` further steps were dispatched on
+          top of the failed one, so the live state is NOT checkpointable -
+          the loop logs that recovery is from the last interval checkpoint
+          and re-raises; it does not pretend to save a rescue point.
+        - a non-finite loss (deterministic - retrying cannot help) is
+          logged loudly and training continues, as the reference does.
+
+        ``on_step`` receives a host float, which forces a per-step device
+        sync - through a remote relay that costs ~4 s/step (NOTES.md), so
+        leave it unset for throughput runs and read the log lines instead.
+        """
         t0 = time.time()
+
+        def sync_loss(loss, it: int) -> float:
+            """Fetch the step loss; a deferred device error lands here."""
+            try:
+                return float(loss)
+            except Exception:
+                # the failed step is 1..log_interval dispatches behind the
+                # live state: params/opt_state are poisoned device arrays,
+                # so there is nothing valid left to checkpoint
+                logging.exception(
+                    "deferred device error surfaced at iter %d; live state is "
+                    "unrecoverable - resume from the last interval checkpoint",
+                    it)
+                raise
+
         for batch in train_loader:
             it = self.state.step
             # `batch` was already drawn from the (prefetching) loader, so a
@@ -350,26 +378,24 @@ class Trainer:
                     break
                 except Exception:
                     if attempt >= max_step_retries:
-                        logging.exception("train step failed at iter %d; writing "
-                                          "emergency checkpoint", it)
+                        logging.exception("train step failed to dispatch at "
+                                          "iter %d; writing emergency "
+                                          "checkpoint", it)
                         if checkpoint_fn is not None:
-                            checkpoint_fn(self, it)
+                            try:  # pre-step state; may itself be poisoned
+                                checkpoint_fn(self, it)
+                            except Exception:
+                                logging.exception(
+                                    "emergency checkpoint failed at iter %d; "
+                                    "resume from the last interval checkpoint",
+                                    it)
                         raise
                     logging.exception("train step error at iter %d, retrying", it)
             self.last_sampler_state = batch.get("sampler_state")
             if on_step is not None:
-                on_step(it, float(loss))  # callback contract: a host float
+                on_step(it, sync_loss(loss, it))  # contract: a host float
             if it % log_interval == 0:
-                try:
-                    lossf = float(loss)  # sync point for this log window
-                except Exception:
-                    # a deferred async error from an earlier dispatch lands
-                    # here: same emergency-checkpoint path as a step failure
-                    logging.exception("deferred device error surfaced at iter "
-                                      "%d; writing emergency checkpoint", it)
-                    if checkpoint_fn is not None:
-                        checkpoint_fn(self, it)
-                    raise
+                lossf = sync_loss(loss, it)
                 if not np.isfinite(lossf):
                     # deterministic (params already poisoned persist to the
                     # next window) - surface loudly, as the reference does

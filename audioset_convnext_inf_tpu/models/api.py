@@ -39,33 +39,39 @@ class ConvNeXt:
 
     def __init__(self, cfg: ConvNeXtConfig, params: Params, compute_dtype=jnp.float32,
                  auto_fast_serving: bool = True):
-        if auto_fast_serving and compute_dtype != jnp.float32 and cfg.block_impl == "xla":
-            # bf16 serving defaults to the fast tanh-GELU path: its erf-vs-
-            # tanh deviation (<=1.1e-3) is below bf16 rounding, and the erf
-            # polynomial alone costs ~45% of forward time on the VPU. The
-            # frontend's DFT/mel GEMMs likewise drop from "highest" (true
-            # f32, the f32-parity recipe) to "default" (single-pass bf16,
-            # ~6% whole-model) - certified on trained flagship weights at
-            # mAP delta 0.0 / top-1 1.0 / max prob delta 6.5e-3 vs the
-            # reference f32 pipeline (SERVING_PARITY_r04.json). Pass
-            # auto_fast_serving=False to keep the exact-erf/"highest" pair
-            # under bf16 (e.g. to separate rounding from flavor effects).
-            # Explicitly-passed defaults are indistinguishable from the
-            # dataclass defaults here, so say what happened out loud.
+        if auto_fast_serving and compute_dtype != jnp.float32:
+            # bf16 serving defaults to the fast pair: tanh-GELU blocks (the
+            # erf-vs-tanh deviation <=1.1e-3 is below bf16 rounding, and the
+            # erf polynomial alone costs ~45% of forward time on the VPU)
+            # and frontend precision "default" (single-pass bf16 DFT/mel
+            # GEMMs, ~6% whole-model - certified on trained flagship weights
+            # at mAP delta 0.0 / top-1 1.0 / max prob delta 6.5e-3 vs the
+            # reference f32 pipeline, SERVING_PARITY_r04.json). Each switch
+            # applies independently and only to the dataclass-default value;
+            # pass auto_fast_serving=False to keep exact-erf/"highest" under
+            # bf16 (e.g. to separate rounding from flavor effects). An
+            # explicitly-passed default is indistinguishable from the
+            # dataclass default here, so say what happened out loud.
             import dataclasses
             import warnings
 
-            warnings.warn(
-                "bf16 serving: block_impl 'xla' auto-switched to 'xla_approx' "
-                "(tanh GELU); pass auto_fast_serving=False to keep exact-erf "
-                "'xla' under bf16.",
-                stacklevel=2,
-            )
-            cfg = dataclasses.replace(cfg, block_impl="xla_approx")
+            switched = []
+            if cfg.block_impl == "xla":
+                cfg = dataclasses.replace(cfg, block_impl="xla_approx")
+                switched.append("block_impl 'xla' -> 'xla_approx' (tanh GELU)")
             if cfg.frontend.precision == "highest":
                 cfg = dataclasses.replace(
                     cfg, frontend=dataclasses.replace(cfg.frontend,
                                                       precision="default"))
+                switched.append("frontend precision 'highest' -> 'default' "
+                                "(single-pass bf16 DFT/mel GEMMs)")
+            if switched:
+                warnings.warn(
+                    "bf16 serving auto-switched: " + "; ".join(switched)
+                    + ". Pass auto_fast_serving=False to keep the exact "
+                    "f32-parity settings under bf16.",
+                    stacklevel=2,
+                )
         self.cfg = cfg
         self.params = params
         self.compute_dtype = compute_dtype
@@ -78,7 +84,9 @@ class ConvNeXt:
             # dtype is static under jit, so the branch costs nothing.
             def wrapped(params, waveform):
                 if waveform.dtype == jnp.int16:
-                    waveform = waveform.astype(jnp.float32) * (1.0 / 32767.0)
+                    from audioset_convnext_inf_tpu.config import INT16_SCALE
+
+                    waveform = waveform.astype(jnp.float32) * INT16_SCALE
                 return fn(params, waveform, cfg=cfg, frontend=self.frontend,
                           compute_dtype=compute_dtype)
             return wrapped

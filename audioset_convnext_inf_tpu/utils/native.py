@@ -27,8 +27,11 @@ _LOAD_LOCK = threading.Lock()
 # f32 constant rather than dividing in f64 so fallback and native results are
 # BIT-IDENTICAL - a loader thread that races the first `_load()` must not
 # produce different sample values than its siblings (that skew was observed
-# as a ~1-ulp batch divergence breaking train-run determinism).
-_INT16_SCALE = np.float32(1.0 / 32767.0)
+# as a ~1-ulp batch divergence breaking train-run determinism). The shared
+# f64 value lives in config.INT16_SCALE; the device decodes use it too.
+from audioset_convnext_inf_tpu.config import INT16_SCALE
+
+_INT16_SCALE = np.float32(INT16_SCALE)
 
 
 def _native_dir() -> str:

@@ -199,10 +199,23 @@ def test_bf16_serving_config_defaults():
                          drop_path_rate=0.0)
     params = F.init_params(jax.random.PRNGKey(0), cfg)
     # the auto-switch is audible: an explicitly-passed block_impl="xla" is
-    # indistinguishable from the dataclass default, so the API warns
-    with pytest.warns(UserWarning, match="auto-switched to 'xla_approx'"):
+    # indistinguishable from the dataclass default, so the API warns, and
+    # the one warning names BOTH switches (GELU flavor + frontend precision)
+    with pytest.warns(UserWarning, match="'xla' -> 'xla_approx'") as rec:
         m = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16)
+    assert any("'highest' -> 'default'" in str(w.message) for w in rec)
     assert m.cfg.block_impl == "xla_approx"
+    assert m.cfg.frontend.precision == "default"
+    # an explicit non-default frontend precision is left alone (only the
+    # dataclass-default "highest" auto-switches)
+    from audioset_convnext_inf_tpu.config import FrontendConfig
+
+    cfg_high = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(16, 32, 64, 128),
+                              drop_path_rate=0.0, block_impl="xla_approx",
+                              frontend=FrontendConfig(precision="high"))
+    m_high = ConvNeXt(cfg_high, F.init_params(jax.random.PRNGKey(0), cfg_high),
+                      compute_dtype=jnp.bfloat16)
+    assert m_high.cfg.frontend.precision == "high"
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")  # record; only the targeted message fails
         m2 = ConvNeXt(cfg, params, compute_dtype=jnp.bfloat16,
@@ -210,9 +223,9 @@ def test_bf16_serving_config_defaults():
         m3 = ConvNeXt(cfg, params)  # f32 keeps the exact-erf parity path
     # no auto-switch warning when the caller opted out (unrelated warnings,
     # e.g. future JAX deprecations, must not fail this test)
-    assert not [w for w in caught if "auto-switched to 'xla_approx'" in str(w.message)]
-    assert m2.cfg.block_impl == "xla"
-    assert m3.cfg.block_impl == "xla"
+    assert not [w for w in caught if "auto-switched" in str(w.message)]
+    assert m2.cfg.block_impl == "xla" and m2.cfg.frontend.precision == "highest"
+    assert m3.cfg.block_impl == "xla" and m3.cfg.frontend.precision == "highest"
 
     assert set(F._FUSED_STAGE_TILES) == {2, 3}
     for tile in F._FUSED_STAGE_TILES.values():
