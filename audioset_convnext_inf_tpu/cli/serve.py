@@ -10,10 +10,16 @@ Endpoints (stdlib http.server, threaded; dynamic batching underneath):
                                 int16 PCM @32 kHz (Content-Type: audio/wav |
                                 application/octet-stream |
                                 application/pcm-int16); 16-bit WAV stays
-                                int16 to the device (half the H2D bytes)
+                                int16 to the device (half the H2D bytes).
+                                Audio longer than 10 s is windowed into
+                                10-s rows that ride the dynamic batcher and
+                                max-reduced (engine/infer.py::tag_long_audio
+                                semantics; response gains "num_windows").
                                 response: {"labels": [...], "probs": [...],
                                            "indexes": [...]}
   POST /embed                -> same body; response: {"embedding": [768 floats]}
+                                (pad/crop to 10 s, extract_embeddings.py
+                                load_clip semantics)
 """
 
 from __future__ import annotations
@@ -108,13 +114,30 @@ def main(argv=None) -> int:
                 body = self.rfile.read(length)
                 wav = decode_audio(body, self.headers.get("Content-Type", ""))
                 if self.path == "/tag":
-                    out = service.tag(wav)
-                    probs = out["clipwise_output"]
+                    from audioset_convnext_inf_tpu.config import CLIP_SAMPLES
+                    from audioset_convnext_inf_tpu.engine.infer import sliding_windows
+
+                    extra = {}
+                    if len(wav) > CLIP_SAMPLES:
+                        # long audio: non-overlapping 10-s windows submitted
+                        # as independent clips (the batcher coalesces them
+                        # into full device batches), max-reduced over
+                        # windows - tag_long_audio's default semantics
+                        windows, n = sliding_windows(wav)
+                        futs = [service.submit(w) for w in windows]
+                        ww = np.stack([
+                            f.result(timeout=600)["clipwise_output"] for f in futs
+                        ])[:n]
+                        probs = ww.max(axis=0)
+                        extra["num_windows"] = int(n)
+                    else:
+                        probs = service.tag(wav)["clipwise_output"]
                     top = np.argsort(probs)[::-1][: args.top_k]
                     self._send(200, {
                         "indexes": [int(i) for i in top],
                         "labels": [labels.ix_to_lb[int(i)] for i in top],
                         "probs": [float(probs[i]) for i in top],
+                        **extra,
                     })
                 elif self.path == "/embed":
                     wav2 = wav[: 320000]

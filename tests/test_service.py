@@ -144,6 +144,20 @@ def test_http_server_end_to_end(tmp_path):
             out = json.load(r)
         assert len(out["labels"]) == 10 and len(out["probs"]) == 10
         assert all(0.0 <= p <= 1.0 for p in out["probs"])
+        assert "num_windows" not in out  # short clip: no windowing
+
+        # long audio: 25 s -> 3 non-overlapping 10-s windows, max-reduced
+        pcm_long = (np.random.RandomState(1).randn(800000) * 0.1
+                    ).astype(np.float32).tobytes()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tag", data=pcm_long,
+            headers={"Content-Type": "application/octet-stream"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out_long = json.load(r)
+        assert out_long["num_windows"] == 3
+        assert len(out_long["probs"]) == 10
+        assert all(0.0 <= p <= 1.0 for p in out_long["probs"])
     finally:
         models_mod.convnext_tiny = real_factory
 
