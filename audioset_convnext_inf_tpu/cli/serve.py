@@ -148,7 +148,12 @@ def main(argv=None) -> int:
                 else:
                     self._send(404, {"error": "unknown path"})
             except Exception as e:  # noqa: BLE001
-                self._send(400, {"error": repr(e)})
+                from audioset_convnext_inf_tpu.engine.service import ServiceOverloaded
+
+                if isinstance(e, ServiceOverloaded):
+                    self._send(429, {"error": "overloaded, retry later"})
+                else:
+                    self._send(400, {"error": repr(e)})
 
         def log_message(self, fmt, *a):  # quiet
             pass

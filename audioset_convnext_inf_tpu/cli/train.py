@@ -48,6 +48,11 @@ def main(argv=None) -> int:
     parser.add_argument("--workspace", default="./workspace")
     parser.add_argument("--resume-iteration", type=int, default=0)
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--f32-ingest", action="store_true",
+                        help="ship float32 waveforms host->device instead of "
+                             "raw int16 PCM decoded on device (the int16 "
+                             "default halves train ingest bandwidth and is "
+                             "bit-identical - tests/test_trainer.py)")
     parser.add_argument("--bf16", action="store_true", help="bfloat16 trunk compute")
     parser.add_argument("--block-impl", default="xla",
                         choices=["xla", "xla_approx"],
@@ -170,7 +175,7 @@ def main(argv=None) -> int:
         logging.info("resumed at iteration %d", ck["iteration"])
 
     loader = DataLoader(
-        AudioSetDataset(training=True),
+        AudioSetDataset(training=True, keep_int16=not args.f32_ingest),
         sampler,
         num_workers=args.num_workers,
     )

@@ -33,17 +33,18 @@ class AudioSetDataset:
         host-computed (T, 224) Kaldi fbank instead of the raw waveform.
 
         ``keep_int16`` ships the packed int16 samples unscaled; the device
-        decodes (x/32767) inside the jitted forward - halves host->device
-        bandwidth on the eval hot path. Only honored for the plain 32 kHz
-        waveform eval path: the decimation, Kaldi-fbank and training paths
-        all consume host-side float32 and would silently run on 32767x-
-        scaled samples otherwise.
+        decodes (x * config.INT16_SCALE, bit-identical to the host decode)
+        inside the jitted forward - halves host->device bandwidth on both
+        the eval and train hot paths (the train step decodes too,
+        engine/trainer.py). Only honored for plain 32 kHz waveforms: the
+        decimation and Kaldi-fbank paths consume host-side float32 and
+        would silently run on 32767x-scaled samples otherwise.
         """
         self.sample_rate = sample_rate
         self.training = training
         self.use_kaldi_fbank = use_kaldi_fbank
         self.keep_int16 = (
-            keep_int16 and sample_rate == 32000 and not use_kaldi_fbank and not training
+            keep_int16 and sample_rate == 32000 and not use_kaldi_fbank
         )
         self._local = threading.local()
 

@@ -31,6 +31,10 @@ import numpy as np
 from audioset_convnext_inf_tpu.config import CLIP_SAMPLES, INT16_SCALE
 
 
+class ServiceOverloaded(RuntimeError):
+    """The request queue is full (``max_queued``); shed load upstream."""
+
+
 class InferenceService:
     def __init__(
         self,
@@ -39,13 +43,19 @@ class InferenceService:
         max_wait_ms: float = 20.0,
         clip_samples: int = CLIP_SAMPLES,
         pcm_int16: bool = False,
+        max_queued: Optional[int] = None,
     ):
+        """``max_queued`` bounds the request queue (backpressure): when
+        full, ``submit`` raises :class:`ServiceOverloaded` instead of
+        letting an unbounded flood of decoded clips eat host memory
+        (callers map it to HTTP 429). Default: 32 batches' worth."""
         self.model = model
         self.batch_size = batch_size
         self.max_wait_ms = max_wait_ms
         self.clip_samples = clip_samples
         self.pcm_int16 = pcm_int16
-        self._queue: "queue.Queue" = queue.Queue()
+        self.max_queued = 32 * batch_size if max_queued is None else max_queued
+        self._queue: "queue.Queue" = queue.Queue(maxsize=self.max_queued)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._started = False
@@ -101,7 +111,13 @@ class InferenceService:
         else:
             wav = wav[: self.clip_samples]
         fut: Future = Future()
-        self._queue.put((wav, fut))
+        try:
+            self._queue.put_nowait((wav, fut))
+        except queue.Full:
+            self.stats["rejected"] = self.stats.get("rejected", 0) + 1
+            raise ServiceOverloaded(
+                f"request queue full ({self.max_queued} clips queued)"
+            ) from None
         self.stats["requests"] += 1
         return fut
 

@@ -225,6 +225,14 @@ def make_train_step(
             return loss, new_bn
 
     def train_step(params, opt_state, waveform, target, step_idx, key):
+        if waveform.dtype == jnp.int16:
+            # on-device int16 PCM decode (dtype is static under jit). Same
+            # f32 multiply-by-constant as the host decode (config.INT16_SCALE)
+            # so int16-ingested training is BIT-IDENTICAL to f32 ingest
+            # while shipping half the bytes (tests/test_trainer.py).
+            from audioset_convnext_inf_tpu.config import INT16_SCALE
+
+            waveform = waveform.astype(jnp.float32) * INT16_SCALE
         step_key = jax.random.fold_in(key, step_idx)
         (loss, new_bn), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(
             params, waveform, target, step_key
@@ -302,7 +310,10 @@ class Trainer:
         relay a per-step scalar fetch costs ~4 s (NOTES.md traps), so the
         loop below syncs only at ``log_interval`` boundaries.
         """
-        wav = jax.device_put(np.asarray(waveform, np.float32), self._sharding)
+        wav_np = np.asarray(waveform)
+        if wav_np.dtype != np.int16:  # int16 PCM ships raw; device decodes
+            wav_np = wav_np.astype(np.float32)
+        wav = jax.device_put(wav_np, self._sharding)
         tgt = jax.device_put(np.asarray(target, np.float32), self._sharding)
         params, opt_state, loss = self._step_fn(
             self.state.params, self.state.opt_state, wav, tgt, self.state.step, self._key

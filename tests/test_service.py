@@ -210,6 +210,41 @@ def test_service_pipelined_burst_resolves_all():
     assert svc.stats["clips"] == 10
 
 
+def test_service_backpressure_rejects_when_full():
+    """A full request queue must raise ServiceOverloaded (load shedding),
+    not buffer unboundedly; accepted clips still complete."""
+    import threading
+
+    from audioset_convnext_inf_tpu.engine.service import ServiceOverloaded
+
+    release = threading.Event()
+
+    class _BlockingModel:
+        def forward(self, wav):
+            if wav.max() > 0:  # let the float32 warmup batch through
+                release.wait(timeout=30)
+            v = np.ones((wav.shape[0], 527), np.float32) * 0.5
+            return {"clipwise_output": v, "clipwise_logits": v}
+
+    svc = InferenceService(_BlockingModel(), batch_size=2, max_wait_ms=1,
+                           clip_samples=8, max_queued=4)
+    svc.start()
+    try:
+        # first submissions (<= max_queued even if the worker is idle)
+        # occupy the worker, which blocks inside forward
+        futs = [svc.submit(np.full(8, 0.5, np.float32)) for _ in range(4)]
+        with pytest.raises(ServiceOverloaded):
+            for _ in range(12):  # the batcher may drain a couple into a batch
+                futs.append(svc.submit(np.full(8, 0.5, np.float32)))
+        assert svc.stats["rejected"] >= 1
+        release.set()
+        for f in futs:
+            assert f.result(timeout=30)["clipwise_output"].shape == (527,)
+    finally:
+        release.set()
+        svc.stop()
+
+
 def test_service_mixed_dtype_batch_promotes_on_host():
     """int16 + float32 clips coalesced into one batch promote host-side
     (scaled to [-1, 1]) so the one compiled float32 program still runs."""

@@ -71,6 +71,31 @@ def test_mixup_training_step(rng):
     assert np.isfinite(loss)
 
 
+def test_int16_ingest_bit_identical(rng):
+    """Training on raw int16 PCM (device decode, half the H2D bytes) must
+    produce BIT-IDENTICAL params to host-decoded float32 ingest: both
+    multiply by the same f32-rounded config.INT16_SCALE, and f32 multiply
+    is deterministic. Guards the train-determinism contract."""
+    from audioset_convnext_inf_tpu.utils import native
+
+    pcm = (rng.randn(8, 32000) * 8000).astype(np.int16)
+    target = np.zeros((8, 527), np.float32)
+    target[np.arange(8), rng.randint(0, 527, 8)] = 1.0
+
+    cfg = _tiny_cfg()
+    tcfg = TrainConfig(max_lr=1e-3, total_steps=10, seed=0, mixup_alpha=1.0)
+    results = []
+    for wav in (pcm, native.int16_to_float32(pcm)):
+        t = Trainer(cfg, tcfg, F.init_params(jax.random.PRNGKey(0), cfg))
+        for _ in range(2):
+            t.step(wav, target)
+        results.append(jax.tree_util.tree_map(np.asarray, t.state.params))
+    a, _ = jax.tree_util.tree_flatten(results[0])
+    b, _ = jax.tree_util.tree_flatten(results[1])
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(la, lb)
+
+
 def test_grad_accumulation_equivalence(rng):
     """2 accumulation micro-steps ~= 1 full-batch step (same total data)."""
     cfg = _tiny_cfg()
