@@ -208,3 +208,37 @@ def test_fused_train_shard_map_step_matches_single_device(monkeypatch):
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
     for a, b in zip(flats[0], flats[1]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_two_process_distributed_bootstrap(tmp_path):
+    """REAL multi-process rendezvous through parallel/dist.py's SLURM env
+    path: two OS processes (2 virtual CPU devices each) initialize one
+    jax.distributed runtime, see a 4-device global mesh, and agree on a
+    cross-process reduction. The in-process tests above cover sharding
+    math; this covers the bootstrap itself (coordinator resolution,
+    process ids, is_primary)."""
+    import os
+    import subprocess
+    import sys
+
+    worker = os.path.join(os.path.dirname(__file__), "dist_worker.py")
+    jobid = str(os.getpid() % 10000)  # dist.py derives the port from JOBID
+    env = {k: v for k, v in os.environ.items() if not k.startswith("SLURM")}
+    procs = [
+        subprocess.Popen([sys.executable, worker, str(i), jobid],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                         text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=180)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert f"proc {i}: OK global_devices=4" in out, out
