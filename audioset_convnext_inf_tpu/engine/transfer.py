@@ -33,6 +33,28 @@ def head_only_labels(params: Params, trainable_keys: Tuple[str, ...] = ("fc1", "
     }
 
 
+def merge_bn_stats(params: Params, bn_updates: Dict[str, Params]) -> Params:
+    """Write updated BN running stats (mean/var only) back into the params.
+
+    The functional analog of torch's in-place buffer mutation: the reference
+    keeps the frozen base in train mode during finetuning
+    (finetune_audiocaps.py:186 ``model.train()``), so BatchNorm running stats
+    keep adapting to the transfer data even though no trunk weight receives a
+    gradient — and eval-mode forwards then normalize with stats that match
+    the features the head was trained on. ``bn_updates`` is the
+    dotted-path-keyed accumulator the PANN applies return.
+    """
+    out = dict(params)
+    for path, stats in bn_updates.items():
+        node, keys = out, path.split(".")
+        for k in keys[:-1]:
+            node[k] = dict(node[k])
+            node = node[k]
+        leaf = keys[-1]
+        node[leaf] = dict(node[leaf], mean=stats["mean"], var=stats["var"])
+    return out
+
+
 class TransferTrainer:
     def __init__(
         self,
@@ -62,12 +84,15 @@ class TransferTrainer:
         def loss_fn(params, audio, tags, key):
             out = apply_fn(params, audio, cfg=cfg, frontend=frontend, train_key=key)
             loss = optax.sigmoid_binary_cross_entropy(out["clipwise_logits"], tags).mean()
-            return loss
+            return loss, out.get("bn_updates", {})
 
         def train_step(params, opt_state, audio, tags, key):
-            loss, grads = jax.value_and_grad(loss_fn)(params, audio, tags, key)
+            (loss, bn_updates), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, audio, tags, key
+            )
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
+            params = merge_bn_stats(params, bn_updates)
             return params, opt_state, loss
 
         self._train_step = jax.jit(train_step)

@@ -87,6 +87,8 @@ def test_transfer_trainer_freezes_base(audiocaps_root):
     model = create_pann_model("Cnn6")
     before_conv = np.asarray(model.params["conv_block1"]["conv1"]["w"]).copy()
     before_fc = np.asarray(model.params["fc_audioset"]["w"]).copy()
+    before_bn_scale = np.asarray(model.params["bn0"]["scale"]).copy()
+    before_bn_mean = np.asarray(model.params["bn0"]["mean"]).copy()
 
     trainer = TransferTrainer(model, learning_rate=1e-3)
     rng = np.random.RandomState(0)
@@ -101,6 +103,11 @@ def test_transfer_trainer_freezes_base(audiocaps_root):
         np.asarray(model.params["conv_block1"]["conv1"]["w"]), before_conv
     )  # base frozen
     assert not np.allclose(np.asarray(model.params["fc_audioset"]["w"]), before_fc)
+    # BN running stats adapt (reference keeps the frozen base in train mode,
+    # finetune_audiocaps.py:186, so buffers keep updating) while the BN
+    # affine weights stay frozen.
+    np.testing.assert_array_equal(np.asarray(model.params["bn0"]["scale"]), before_bn_scale)
+    assert not np.array_equal(np.asarray(model.params["bn0"]["mean"]), before_bn_mean)
 
 
 def test_download_command_builders():
