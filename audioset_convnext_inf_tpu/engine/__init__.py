@@ -8,8 +8,16 @@ from audioset_convnext_inf_tpu.engine.infer import (
     tag_long_audio,
 )
 from audioset_convnext_inf_tpu.engine.statistics import StatisticsContainer
+from audioset_convnext_inf_tpu.engine.aot_export import (
+    export_serving,
+    load_bundle,
+    save_bundle,
+)
 
 __all__ = [
+    "export_serving",
+    "save_bundle",
+    "load_bundle",
     "Evaluator",
     "evaluate_clipwise",
     "summarize",

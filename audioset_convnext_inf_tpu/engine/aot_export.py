@@ -1,0 +1,167 @@
+"""Ahead-of-time serving export: serialized StableHLO artifacts.
+
+TPU-native deployment analog of the reference's checkpoint-distribution
+story (convert_pytorch_ckpt_to_safetensors.py:11-19 ships weights; the
+consumer still needs the full Python model code). Here the whole serving
+program - frontend DFT/mel GEMMs, ConvNeXt trunk (including the fused
+Pallas kernels when exported on TPU), sigmoid head - is lowered once with
+``jax.export`` and serialized WITH the weights baked in as constants. A
+server deserializes the artifact and calls it without importing any model
+code, and the compile cost is paid at export time, not at first request.
+
+Artifacts are per-(kind, batch-size): serving runs fixed-shape XLA
+programs, so a bundle holds one program per batch bucket and the loader
+pads each request up to the smallest bucket that fits (the standard
+dynamic-batching contract, engine/service.py).
+
+Layout of a bundle directory::
+
+    manifest.json                     # shapes, dtype, platforms, params
+    forward_b1.jaxexport              # jax.export serialization, one per
+    forward_b32.jaxexport             # (kind, batch) pair
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jex
+
+from audioset_convnext_inf_tpu.config import CLIP_SAMPLES
+
+_KINDS = ("forward", "scene", "frame")
+_MANIFEST = "manifest.json"
+
+
+def _serving_fn(model, kind: str):
+    """Close the params over the pure forward so they serialize as
+    constants; jit-of-jit inlines the model's cached jitted callables."""
+    params = model.params
+    if kind == "forward":
+        inner = model._jit_forward
+    elif kind == "scene":
+        inner = model._jit_scene
+    elif kind == "frame":
+        inner = model._jit_frame
+    else:
+        raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
+
+    def fn(waveform):
+        return inner(params, waveform)
+
+    return fn
+
+
+def export_serving(
+    model,
+    batch_size: int,
+    *,
+    kind: str = "forward",
+    pcm: bool = False,
+    num_samples: int = CLIP_SAMPLES,
+    platforms: Optional[Sequence[str]] = None,
+) -> jex.Exported:
+    """Export one fixed-shape serving program.
+
+    ``pcm=True`` exports the int16-PCM entry point (on-device ``x/32767``
+    decode, halving ingest bandwidth - the serving path's native format).
+    ``platforms`` defaults to the current backend; pass ``("tpu",)`` to
+    build a TPU artifact from a CPU host (the fused Pallas kernels lower
+    for TPU only).
+    """
+    dtype = jnp.int16 if pcm else jnp.float32
+    spec = jax.ShapeDtypeStruct((batch_size, num_samples), dtype)
+    fn = jax.jit(_serving_fn(model, kind))
+    return jex.export(fn, platforms=platforms)(spec)
+
+
+def save_bundle(
+    model,
+    path: str,
+    *,
+    batch_sizes: Sequence[int] = (1, 16, 32, 128),
+    kinds: Sequence[str] = ("forward",),
+    pcm: bool = False,
+    num_samples: int = CLIP_SAMPLES,
+    platforms: Optional[Sequence[str]] = None,
+) -> Dict[str, Any]:
+    """Export a serving bundle (one program per (kind, batch)) to ``path``."""
+    os.makedirs(path, exist_ok=True)
+    entries = {}
+    for kind in kinds:
+        for b in sorted(set(int(b) for b in batch_sizes)):
+            exp = export_serving(model, b, kind=kind, pcm=pcm,
+                                 num_samples=num_samples, platforms=platforms)
+            fname = f"{kind}_b{b}.jaxexport"
+            with open(os.path.join(path, fname), "wb") as f:
+                f.write(exp.serialize())
+            entries[f"{kind}:{b}"] = fname
+    manifest = {
+        "format": "audioset_convnext_inf_tpu.aot_bundle.v1",
+        "model": getattr(model.cfg, "name", "convnext"),
+        "input_dtype": "int16" if pcm else "float32",
+        "num_samples": int(num_samples),
+        "batch_sizes": sorted(set(int(b) for b in batch_sizes)),
+        "kinds": list(kinds),
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "param_count": int(model.count_parameters()),
+        "jax_version": jax.__version__,
+        "entries": entries,
+    }
+    with open(os.path.join(path, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+        f.write("\n")
+    return manifest
+
+
+class ServingBundle:
+    """Deserialized AOT bundle: pads each batch to the smallest exported
+    bucket that fits, runs the fixed-shape program, slices the pad away.
+    No model code or weights are needed - everything lives in the blobs."""
+
+    def __init__(self, manifest: Dict[str, Any], programs: Dict[str, jex.Exported]):
+        self.manifest = manifest
+        self._programs = programs
+        self._buckets = sorted(manifest["batch_sizes"])
+        self._dtype = jnp.int16 if manifest["input_dtype"] == "int16" else jnp.float32
+        self._num_samples = int(manifest["num_samples"])
+
+    def bucket_for(self, n: int) -> int:
+        for b in self._buckets:
+            if b >= n:
+                return b
+        raise ValueError(
+            f"batch {n} exceeds the largest exported bucket {self._buckets[-1]}")
+
+    def __call__(self, waveform, kind: str = "forward"):
+        wav = jnp.asarray(waveform)
+        if wav.ndim != 2 or wav.shape[1] != self._num_samples:
+            raise ValueError(
+                f"expected (B, {self._num_samples}) input, got {wav.shape}")
+        if wav.dtype != self._dtype:
+            raise ValueError(
+                f"bundle expects {np.dtype(self._dtype.dtype).name} input, "
+                f"got {wav.dtype}")
+        n = wav.shape[0]
+        b = self.bucket_for(n)
+        if b != n:
+            wav = jnp.pad(wav, ((0, b - n), (0, 0)))
+        out = self._programs[f"{kind}:{b}"].call(wav)
+        return jax.tree_util.tree_map(lambda x: x[:n], out)
+
+
+def load_bundle(path: str) -> ServingBundle:
+    with open(os.path.join(path, _MANIFEST)) as f:
+        manifest = json.load(f)
+    if manifest.get("format") != "audioset_convnext_inf_tpu.aot_bundle.v1":
+        raise ValueError(f"not an AOT serving bundle: {path}")
+    programs = {}
+    for key, fname in manifest["entries"].items():
+        with open(os.path.join(path, fname), "rb") as f:
+            programs[key] = jex.deserialize(bytearray(f.read()))
+    return ServingBundle(manifest, programs)

@@ -1,0 +1,133 @@
+"""AOT serving-export tests (engine/aot_export.py).
+
+The exported StableHLO artifact must reproduce the live model to ~1 ULP
+(separate XLA compilations may fuse differently), survive a serialize/
+deserialize round trip bit-identically with no model code, and the bundle
+loader must implement the pad-to-bucket serving contract.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+from audioset_convnext_inf_tpu.engine.aot_export import (
+    export_serving,
+    load_bundle,
+    save_bundle,
+)
+from audioset_convnext_inf_tpu.models.api import ConvNeXt
+from audioset_convnext_inf_tpu.models import convnext as F
+
+import jax
+
+N = 16000  # short clips keep CPU compiles fast
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = ConvNeXtConfig(name="aot_test", depths=(1, 1, 1, 1),
+                         dims=(16, 32, 64, 128), drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    return ConvNeXt(cfg, params)
+
+
+@pytest.fixture(scope="module")
+def wav():
+    rng = np.random.RandomState(0)
+    return (rng.randn(3, N) * 0.1).astype(np.float32)
+
+
+def test_export_matches_live_model(model, wav):
+    exp = export_serving(model, 3, num_samples=N)
+    out = exp.call(wav)
+    ref = model.forward(wav)
+    # separate XLA compilations (exported module vs live jit) may differ
+    # by ~1 ULP in fusion order; tight allclose, not bit-equality
+    np.testing.assert_allclose(np.asarray(out["clipwise_output"]),
+                               np.asarray(ref["clipwise_output"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["clipwise_logits"]),
+                               np.asarray(ref["clipwise_logits"]), atol=1e-5)
+
+
+def test_serialize_roundtrip_no_model_code(model, wav, tmp_path):
+    exp = export_serving(model, 3, num_samples=N)
+    blob = exp.serialize()
+    from jax import export as jex
+
+    again = jex.deserialize(bytearray(blob))
+    out = again.call(wav)
+    # round trip must be bit-identical to the pre-serialization export
+    np.testing.assert_array_equal(np.asarray(out["clipwise_output"]),
+                                  np.asarray(exp.call(wav)["clipwise_output"]))
+    ref = model.forward(wav)
+    np.testing.assert_allclose(np.asarray(out["clipwise_output"]),
+                               np.asarray(ref["clipwise_output"]), atol=1e-6)
+
+
+def test_bundle_pad_to_bucket_and_slice(model, wav, tmp_path):
+    path = str(tmp_path / "bundle")
+    manifest = save_bundle(model, path, batch_sizes=(2, 4), num_samples=N)
+    assert manifest["param_count"] == model.count_parameters()
+    bundle = load_bundle(path)
+
+    # B=3 pads to bucket 4 and slices back; must equal the live forward
+    out = bundle(wav)
+    ref = model.forward(wav)
+    np.testing.assert_allclose(np.asarray(out["clipwise_output"]),
+                               np.asarray(ref["clipwise_output"]),
+                               rtol=0, atol=1e-6)
+    assert np.asarray(out["clipwise_output"]).shape == (3, 527)
+
+    # exact-bucket batch takes the unpadded program
+    out2 = bundle(wav[:2])
+    np.testing.assert_allclose(np.asarray(out2["clipwise_logits"]),
+                               np.asarray(ref["clipwise_logits"])[:2], atol=1e-5)
+
+    assert bundle.bucket_for(1) == 2 and bundle.bucket_for(4) == 4
+    with pytest.raises(ValueError):
+        bundle.bucket_for(5)
+    with pytest.raises(ValueError):
+        bundle(wav[:, : N // 2])
+
+
+def test_bundle_scene_kind_and_manifest(model, wav, tmp_path):
+    path = str(tmp_path / "bundle_scene")
+    save_bundle(model, path, batch_sizes=(4,), kinds=("forward", "scene"),
+                num_samples=N)
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    assert set(manifest["entries"]) == {"forward:4", "scene:4"}
+    bundle = load_bundle(path)
+    emb = bundle(wav, kind="scene")
+    ref = model.forward_scene_embeddings(wav)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), atol=1e-5)
+
+
+def test_export_cli(model, wav, tmp_path, monkeypatch):
+    from audioset_convnext_inf_tpu.cli import export_serving as cli
+
+    import audioset_convnext_inf_tpu.models.api as api
+    monkeypatch.setattr(api, "create_model", lambda name, **kw: model)
+    out = str(tmp_path / "cli_bundle")
+    rc = cli.main([out, "--batch-sizes", "4", "--num-samples", str(N)])
+    assert rc == 0
+    bundle = load_bundle(out)
+    res = bundle(wav)
+    assert np.asarray(res["clipwise_output"]).shape == (3, 527)
+
+
+def test_bundle_int16_pcm_entry(model, tmp_path):
+    path = str(tmp_path / "bundle_pcm")
+    save_bundle(model, path, batch_sizes=(2,), pcm=True, num_samples=N)
+    bundle = load_bundle(path)
+    rng = np.random.RandomState(1)
+    pcm = (rng.randn(2, N) * 3000).astype(np.int16)
+    out = bundle(pcm)
+    ref = model.forward(pcm)  # model API decodes int16 on-device already
+    np.testing.assert_allclose(np.asarray(out["clipwise_output"]),
+                               np.asarray(ref["clipwise_output"]), atol=1e-6)
+    with pytest.raises(ValueError):
+        bundle(pcm.astype(np.float32))
