@@ -1,7 +1,11 @@
 """HTTP tagging service CLI.
 
     python -m audioset_convnext_inf_tpu.cli.serve [--port 8787] \
-        [--checkpoint CKPT] [--batch-size 32] [--top-k 10]
+        [--checkpoint CKPT | --bundle AOT_DIR] [--batch-size 32] [--top-k 10]
+
+``--bundle`` serves from an AOT export bundle (cli/export_serving.py):
+the box needs neither model code nor weights - the serialized StableHLO
+programs carry both.
 
 Endpoints (stdlib http.server, threaded; dynamic batching underneath):
 
@@ -34,6 +38,10 @@ def main(argv=None) -> int:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8787)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--bundle", default=None,
+                        help="serve from an AOT export bundle directory "
+                             "(cli/export_serving.py) - no model code or "
+                             "weights are built; overrides --checkpoint/--dtype")
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--max-wait-ms", type=float, default=20.0)
     parser.add_argument("--top-k", type=int, default=10)
@@ -54,7 +62,18 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    if args.checkpoint:
+    if args.bundle:
+        from audioset_convnext_inf_tpu.engine.aot_export import (
+            BundleModel,
+            load_bundle,
+        )
+
+        model = BundleModel(load_bundle(args.bundle))
+        if args.batch_size > model.max_batch:
+            print(f"batch-size {args.batch_size} > largest exported bucket; "
+                  f"using {model.max_batch}")
+            args.batch_size = model.max_batch
+    elif args.checkpoint:
         model = ConvNeXt.from_pretrained(args.checkpoint, compute_dtype=compute_dtype)
     else:
         model = convnext_tiny(drop_path_rate=0.0, compute_dtype=compute_dtype)

@@ -149,10 +149,51 @@ class ServingBundle:
                 f"got {wav.dtype}")
         n = wav.shape[0]
         b = self.bucket_for(n)
+        if f"{kind}:{b}" not in self._programs:
+            raise ValueError(f"bundle has no {kind!r} programs "
+                             f"(kinds: {self.manifest['kinds']})")
         if b != n:
             wav = jnp.pad(wav, ((0, b - n), (0, 0)))
         out = self._programs[f"{kind}:{b}"].call(wav)
         return jax.tree_util.tree_map(lambda x: x[:n], out)
+
+
+class BundleModel:
+    """Adapts a :class:`ServingBundle` to the live-model surface the
+    serving stack expects (``forward`` / ``forward_scene_embeddings``),
+    so ``engine/service.py`` and ``cli/serve.py`` can serve straight from
+    an AOT bundle with no model code or weights on the box.
+
+    Inputs convert to the bundle's wire dtype: float audio quantizes to
+    int16 PCM for a pcm bundle (that IS the serving wire format - the
+    on-device decode divides by 32767, so round(x*32767) inverts it
+    exactly for in-range samples), and int16 decodes to float32 for a
+    float bundle (reference utilities.py:226 convention).
+    """
+
+    def __init__(self, bundle: ServingBundle):
+        self.bundle = bundle
+
+    @property
+    def max_batch(self) -> int:
+        return self.bundle._buckets[-1]
+
+    def _adapt(self, waveform) -> np.ndarray:
+        wav = np.asarray(waveform)
+        if self.bundle._dtype == jnp.int16 and wav.dtype != np.int16:
+            wav = np.clip(np.round(wav.astype(np.float64) * 32767.0),
+                          -32768, 32767).astype(np.int16)
+        elif self.bundle._dtype != jnp.int16 and wav.dtype == np.int16:
+            from audioset_convnext_inf_tpu.config import INT16_SCALE
+
+            wav = wav.astype(np.float32) * np.float32(INT16_SCALE)
+        return wav
+
+    def forward(self, waveform):
+        return self.bundle(self._adapt(waveform))
+
+    def forward_scene_embeddings(self, waveform):
+        return self.bundle(self._adapt(waveform), kind="scene")
 
 
 def load_bundle(path: str) -> ServingBundle:

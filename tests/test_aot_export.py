@@ -119,6 +119,41 @@ def test_export_cli(model, wav, tmp_path, monkeypatch):
     assert np.asarray(res["clipwise_output"]).shape == (3, 527)
 
 
+def test_bundle_model_serves_through_inference_service(model, wav, tmp_path):
+    """BundleModel adapts an AOT bundle to the serving stack: the dynamic
+    batcher runs against deserialized programs with no live model."""
+    from audioset_convnext_inf_tpu.engine.aot_export import BundleModel
+    from audioset_convnext_inf_tpu.engine.service import InferenceService
+
+    path = str(tmp_path / "bundle_svc")
+    save_bundle(model, path, batch_sizes=(4,), kinds=("forward", "scene"),
+                pcm=True, num_samples=N)
+    bm = BundleModel(load_bundle(path))
+    assert bm.max_batch == 4
+
+    # float32 requests quantize to the bundle's int16 wire format; feed the
+    # live model the SAME quantized PCM so the comparison isolates the
+    # adapter+bundle from 16-bit quantization noise - remaining deltas are
+    # separate-compilation fusion drift (~1 ULP)
+    pcm = bm._adapt(wav)
+    assert pcm.dtype == np.int16
+    ref = model.forward(pcm)
+    with InferenceService(bm, batch_size=4, max_wait_ms=5.0,
+                          clip_samples=N, pcm_int16=True) as svc:
+        futs = [svc.submit(wav[i]) for i in range(3)]
+        outs = np.stack([f.result(timeout=60)["clipwise_output"] for f in futs])
+    np.testing.assert_allclose(outs, np.asarray(ref["clipwise_output"]),
+                               atol=1e-5)
+
+    emb = np.asarray(bm.forward_scene_embeddings(wav))
+    np.testing.assert_allclose(
+        emb, np.asarray(model.forward_scene_embeddings(pcm)), atol=1e-5)
+
+    # missing kind -> clear error
+    with pytest.raises(ValueError, match="no 'frame'"):
+        bm.bundle(bm._adapt(wav), kind="frame")
+
+
 def test_bundle_int16_pcm_entry(model, tmp_path):
     path = str(tmp_path / "bundle_pcm")
     save_bundle(model, path, batch_sizes=(2,), pcm=True, num_samples=N)
