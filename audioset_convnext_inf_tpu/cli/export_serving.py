@@ -25,7 +25,11 @@ def main(argv=None) -> int:
                              "random init if omitted (smoke/testing)")
     parser.add_argument("--dtype", default="float32",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--batch-sizes", default="1,16,32,128")
+    parser.add_argument("--batch-sizes", default="1,16,32,128",
+                        help="comma-separated fixed buckets; add 'dynamic' "
+                             "for a symbolic-batch program (any B, "
+                             "specializes per call shape; XLA-trunk "
+                             "configs only - Pallas tiles are fixed-shape)")
     parser.add_argument("--kinds", default="forward")
     parser.add_argument("--pcm", action="store_true",
                         help="export the int16-PCM entry point")
@@ -50,7 +54,8 @@ def main(argv=None) -> int:
     manifest = save_bundle(
         model,
         args.out_dir,
-        batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
+        batch_sizes=[b if b == "dynamic" else int(b)
+                     for b in args.batch_sizes.split(",")],
         kinds=[k.strip() for k in args.kinds.split(",")],
         pcm=args.pcm,
         num_samples=args.num_samples or CLIP_SAMPLES,

@@ -69,7 +69,7 @@ def main(argv=None) -> int:
         )
 
         model = BundleModel(load_bundle(args.bundle))
-        if args.batch_size > model.max_batch:
+        if model.max_batch is not None and args.batch_size > model.max_batch:
             print(f"batch-size {args.batch_size} > largest exported bucket; "
                   f"using {model.max_batch}")
             args.batch_size = model.max_batch

@@ -59,23 +59,35 @@ def _serving_fn(model, kind: str):
 
 def export_serving(
     model,
-    batch_size: int,
+    batch_size,
     *,
     kind: str = "forward",
     pcm: bool = False,
     num_samples: int = CLIP_SAMPLES,
     platforms: Optional[Sequence[str]] = None,
 ) -> jex.Exported:
-    """Export one fixed-shape serving program.
+    """Export one serving program.
+
+    ``batch_size`` is an int (fixed-shape program - the serving default)
+    or the string ``"dynamic"``: a symbolic-batch export whose single
+    artifact accepts ANY batch size. Dynamic programs specialize (compile)
+    per concrete batch at call time, so fixed buckets stay the right
+    choice for a latency-sensitive server; dynamic is the overflow/offline
+    path. Note the fused Pallas kernels tile over the batch dim and cannot
+    lower with a symbolic batch - dynamic export requires a config whose
+    trunk is pure XLA (e.g. f32, or bf16 with fused_blocks disabled).
 
     ``pcm=True`` exports the int16-PCM entry point (on-device ``x/32767``
     decode, halving ingest bandwidth - the serving path's native format).
     ``platforms`` defaults to the current backend; pass ``("tpu",)`` to
-    build a TPU artifact from a CPU host (the fused Pallas kernels lower
-    for TPU only).
+    build a TPU artifact from a CPU host.
     """
     dtype = jnp.int16 if pcm else jnp.float32
-    spec = jax.ShapeDtypeStruct((batch_size, num_samples), dtype)
+    if batch_size == "dynamic":
+        (b,) = jex.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, num_samples), dtype)
+    else:
+        spec = jax.ShapeDtypeStruct((int(batch_size), num_samples), dtype)
     fn = jax.jit(_serving_fn(model, kind))
     return jex.export(fn, platforms=platforms)(spec)
 
@@ -92,9 +104,11 @@ def save_bundle(
 ) -> Dict[str, Any]:
     """Export a serving bundle (one program per (kind, batch)) to ``path``."""
     os.makedirs(path, exist_ok=True)
+    dynamic = "dynamic" in batch_sizes
+    fixed = sorted(set(int(b) for b in batch_sizes if b != "dynamic"))
     entries = {}
     for kind in kinds:
-        for b in sorted(set(int(b) for b in batch_sizes)):
+        for b in fixed + (["dynamic"] if dynamic else []):
             exp = export_serving(model, b, kind=kind, pcm=pcm,
                                  num_samples=num_samples, platforms=platforms)
             fname = f"{kind}_b{b}.jaxexport"
@@ -106,7 +120,8 @@ def save_bundle(
         "model": getattr(model.cfg, "name", "convnext"),
         "input_dtype": "int16" if pcm else "float32",
         "num_samples": int(num_samples),
-        "batch_sizes": sorted(set(int(b) for b in batch_sizes)),
+        "batch_sizes": fixed,
+        "dynamic": dynamic,
         "kinds": list(kinds),
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "param_count": int(model.count_parameters()),
@@ -128,13 +143,19 @@ class ServingBundle:
         self.manifest = manifest
         self._programs = programs
         self._buckets = sorted(manifest["batch_sizes"])
+        self._dynamic = bool(manifest.get("dynamic", False))
         self._dtype = jnp.int16 if manifest["input_dtype"] == "int16" else jnp.float32
         self._num_samples = int(manifest["num_samples"])
 
-    def bucket_for(self, n: int) -> int:
+    def bucket_for(self, n: int):
+        """Smallest fixed bucket that fits ``n``; the string ``"dynamic"``
+        when only the symbolic-batch program can serve it (preferring
+        precompiled fixed shapes - dynamic specializes per call shape)."""
         for b in self._buckets:
             if b >= n:
                 return b
+        if self._dynamic:
+            return "dynamic"
         raise ValueError(
             f"batch {n} exceeds the largest exported bucket {self._buckets[-1]}")
 
@@ -152,7 +173,7 @@ class ServingBundle:
         if f"{kind}:{b}" not in self._programs:
             raise ValueError(f"bundle has no {kind!r} programs "
                              f"(kinds: {self.manifest['kinds']})")
-        if b != n:
+        if b != "dynamic" and b != n:
             wav = jnp.pad(wav, ((0, b - n), (0, 0)))
         out = self._programs[f"{kind}:{b}"].call(wav)
         return jax.tree_util.tree_map(lambda x: x[:n], out)
@@ -175,7 +196,11 @@ class BundleModel:
         self.bundle = bundle
 
     @property
-    def max_batch(self) -> int:
+    def max_batch(self) -> Optional[int]:
+        """Largest fixed bucket; None when a dynamic program serves any
+        batch (no cap)."""
+        if self.bundle._dynamic:
+            return None
         return self.bundle._buckets[-1]
 
     def _adapt(self, waveform) -> np.ndarray:

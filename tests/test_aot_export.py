@@ -106,6 +106,28 @@ def test_bundle_scene_kind_and_manifest(model, wav, tmp_path):
     np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), atol=1e-5)
 
 
+def test_dynamic_batch_bundle(model, wav, tmp_path):
+    """A 'dynamic' bucket exports ONE symbolic-batch program that serves
+    any batch size; fixed buckets are preferred when they fit (they are
+    precompiled - dynamic specializes per call shape)."""
+    path = str(tmp_path / "bundle_dyn")
+    manifest = save_bundle(model, path, batch_sizes=(2, "dynamic"),
+                           num_samples=N)
+    assert manifest["dynamic"] is True and manifest["batch_sizes"] == [2]
+    bundle = load_bundle(path)
+    assert bundle.bucket_for(1) == 2          # fixed bucket preferred
+    assert bundle.bucket_for(7) == "dynamic"  # beyond max fixed -> symbolic
+
+    ref = model.forward(wav)
+    out = bundle(wav)  # B=3 > 2 -> dynamic program, unpadded
+    np.testing.assert_allclose(np.asarray(out["clipwise_output"]),
+                               np.asarray(ref["clipwise_output"]), atol=1e-6)
+
+    from audioset_convnext_inf_tpu.engine.aot_export import BundleModel
+
+    assert BundleModel(bundle).max_batch is None
+
+
 def test_export_cli(model, wav, tmp_path, monkeypatch):
     from audioset_convnext_inf_tpu.cli import export_serving as cli
 
