@@ -9,12 +9,14 @@ from audioset_convnext_inf_tpu.engine.infer import (
 )
 from audioset_convnext_inf_tpu.engine.statistics import StatisticsContainer
 from audioset_convnext_inf_tpu.engine.aot_export import (
+    BundleModel,
     export_serving,
     load_bundle,
     save_bundle,
 )
 
 __all__ = [
+    "BundleModel",
     "export_serving",
     "save_bundle",
     "load_bundle",
