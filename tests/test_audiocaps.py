@@ -110,7 +110,30 @@ def test_transfer_trainer_freezes_base(audiocaps_root):
     assert not np.array_equal(np.asarray(model.params["bn0"]["mean"]), before_bn_mean)
 
 
-def test_download_command_builders():
+def test_transfer_trainer_fit_epochs_and_history(audiocaps_root):
+    """fit() mirrors the reference loop (finetune_audiocaps.py:166-226):
+    per-epoch train pass, val/test mAP, optional checkpoint hook."""
+    from audioset_convnext_inf_tpu.engine.transfer import TransferTrainer
+    from audioset_convnext_inf_tpu.models.pann import create_pann_model
+
+    model = create_pann_model("Cnn6")
+    trainer = TransferTrainer(model, learning_rate=1e-3)
+    rng = np.random.RandomState(0)
+    audio = (rng.randn(4, 16000) * 0.1).astype(np.float32)
+    tags = np.zeros((4, 527), np.float32)
+    tags[:2, 0] = 1
+    tags[2:, 1] = 1
+    batch = {"audio": audio, "tags": tags}
+
+    saved = []
+    history = trainer.fit(
+        train_loader_fn=lambda: [batch],
+        val_loader_fn=lambda: [batch],
+        epochs=2,
+        checkpoint_fn=lambda epoch, mAP: saved.append((epoch, mAP)),
+    )
+    assert len(history) == 2 and all(np.isfinite(history))
+    assert [e for e, _ in saved] == [1, 2]
     """Command shapes match the reference youtube-dl/ffmpeg invocations
     (audiocaps.py:688-732) argument for argument."""
     from audioset_convnext_inf_tpu.data.audiocaps import (
