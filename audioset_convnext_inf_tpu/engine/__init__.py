@@ -1,6 +1,7 @@
 from audioset_convnext_inf_tpu.engine.evaluator import Evaluator
 from audioset_convnext_inf_tpu.engine.metrics import d_prime, evaluate_clipwise, summarize
 from audioset_convnext_inf_tpu.engine.infer import (
+    embed_long_audio,
     extract_embeddings_to_hdf5,
     load_clip,
     sliding_windows,
@@ -26,6 +27,7 @@ __all__ = [
     "d_prime",
     "tag_clip",
     "tag_long_audio",
+    "embed_long_audio",
     "load_clip",
     "sliding_windows",
     "extract_embeddings_to_hdf5",

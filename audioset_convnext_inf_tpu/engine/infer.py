@@ -90,6 +90,47 @@ def tag_long_audio(
     return {"windowwise_output": windowwise, "clipwise_output": clipwise}
 
 
+def embed_long_audio(
+    model,
+    waveform: np.ndarray,
+    window_samples: int = CLIP_SAMPLES,
+    batch_size: int = 32,
+) -> Dict[str, np.ndarray]:
+    """Long-audio embeddings: window -> batch -> stitch.
+
+    The reference forwards variable-length audio WHOLE through the
+    fully-convolutional trunk (extract_embeddings.py:72-83), so its frame
+    embeddings' time dim scales with length but every length recompiles.
+    Here non-overlapping 10-s windows run through ONE compiled shape and
+    the per-window frame embeddings (768, 31, 7) concatenate along the
+    time axis -> (768, 31*W, 7); differences vs the whole-clip forward are
+    receptive-field edge effects at window boundaries (bounded by the
+    windowed-vs-whole tests in test_engine/test_reference_parity).
+
+    Returns {'frame_embeddings' (768, 31*W, 7),
+             'windowwise_scene' (W, 768),
+             'scene_embedding' (768,) mean over windows}.
+    """
+    windows, n = sliding_windows(waveform, window_samples)
+    frames: List[np.ndarray] = []
+    scenes: List[np.ndarray] = []
+    for start in range(0, len(windows), batch_size):
+        chunk = windows[start : start + batch_size]
+        k = len(chunk)
+        if k < batch_size:
+            chunk = np.pad(chunk, ((0, batch_size - k), (0, 0)))
+        frames.append(np.asarray(model.forward_frame_embeddings(chunk))[:k])
+        scenes.append(np.asarray(model.forward_scene_embeddings(chunk))[:k])
+    fr = np.concatenate(frames)[:n]  # (W, C, T, F)
+    windowwise_scene = np.concatenate(scenes)[:n]
+    frame_embeddings = np.concatenate(list(fr), axis=1)  # time-axis stitch
+    return {
+        "frame_embeddings": frame_embeddings,
+        "windowwise_scene": windowwise_scene,
+        "scene_embedding": windowwise_scene.mean(axis=0),
+    }
+
+
 def extract_embeddings_to_hdf5(
     model,
     wav_paths: Sequence[str],

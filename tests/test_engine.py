@@ -131,6 +131,14 @@ class _FakeModel:
         p = np.abs(np.asarray(batch)).mean(axis=1, keepdims=True) * np.ones((b, 527))
         return {"clipwise_output": p, "clipwise_logits": p}
 
+    def forward_frame_embeddings(self, batch):
+        m = np.abs(np.asarray(batch)).mean(axis=1)  # (B,)
+        return m[:, None, None, None] * np.ones((len(m), 8, 31, 7), np.float32)
+
+    def forward_scene_embeddings(self, batch):
+        m = np.abs(np.asarray(batch)).mean(axis=1)
+        return m[:, None] * np.ones((len(m), 8), np.float32)
+
 
 def test_tag_long_audio_reduces_over_windows():
     model = _FakeModel()
@@ -139,3 +147,23 @@ def test_tag_long_audio_reduces_over_windows():
     assert out["windowwise_output"].shape == (2, 527)
     np.testing.assert_allclose(out["clipwise_output"], out["windowwise_output"].max(0))
     assert out["clipwise_output"][0] > 0.9
+
+
+def test_embed_long_audio_stitches_time_axis():
+    from audioset_convnext_inf_tpu.engine.infer import embed_long_audio
+
+    model = _FakeModel()
+    # 3 windows with distinct mean levels 0 / 1 / 0.5 (tail zero-padded)
+    audio = np.concatenate([
+        np.zeros(320000, np.float32),
+        np.ones(320000, np.float32),
+        np.ones(160000, np.float32),
+    ])
+    out = embed_long_audio(model, audio, batch_size=2)  # forces 2 chunks
+    assert out["frame_embeddings"].shape == (8, 31 * 3, 7)
+    assert out["windowwise_scene"].shape == (3, 8)
+    # time-axis stitch preserves window order (levels 0, 1, then tail 0.5)
+    levels = out["frame_embeddings"][0, ::31, 0]
+    np.testing.assert_allclose(levels, [0.0, 1.0, 0.5])
+    np.testing.assert_allclose(out["scene_embedding"],
+                               out["windowwise_scene"].mean(0))
