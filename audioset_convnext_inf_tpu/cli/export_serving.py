@@ -35,6 +35,11 @@ def main(argv=None) -> int:
                         help="export the int16-PCM entry point")
     parser.add_argument("--num-samples", type=int, default=None,
                         help="input samples per clip (default: 320000)")
+    parser.add_argument("--weights", default="baked",
+                        choices=["baked", "shared"],
+                        help="'baked' embeds params in every program; "
+                             "'shared' stores them once in params.npz "
+                             "(smaller bundles with many buckets)")
     parser.add_argument("--platforms", default=None,
                         help="comma-separated lowering platforms "
                              "(default: current backend)")
@@ -60,6 +65,7 @@ def main(argv=None) -> int:
         pcm=args.pcm,
         num_samples=args.num_samples or CLIP_SAMPLES,
         platforms=args.platforms.split(",") if args.platforms else None,
+        weights=args.weights,
     )
     print(f"exported {len(manifest['entries'])} programs -> {args.out_dir} "
           f"({manifest['input_dtype']} input, platforms {manifest['platforms']})")

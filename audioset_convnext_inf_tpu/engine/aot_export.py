@@ -38,23 +38,50 @@ _KINDS = ("forward", "scene", "frame")
 _MANIFEST = "manifest.json"
 
 
+def _inner_fn(model, kind: str):
+    if kind == "forward":
+        return model._jit_forward
+    if kind == "scene":
+        return model._jit_scene
+    if kind == "frame":
+        return model._jit_frame
+    raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
+
+
 def _serving_fn(model, kind: str):
     """Close the params over the pure forward so they serialize as
     constants; jit-of-jit inlines the model's cached jitted callables."""
     params = model.params
-    if kind == "forward":
-        inner = model._jit_forward
-    elif kind == "scene":
-        inner = model._jit_scene
-    elif kind == "frame":
-        inner = model._jit_frame
-    else:
-        raise ValueError(f"kind must be one of {_KINDS}, got {kind!r}")
+    inner = _inner_fn(model, kind)
 
     def fn(waveform):
         return inner(params, waveform)
 
     return fn
+
+
+def _flatten_params(params) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}.{k}" if prefix else str(k))
+        else:
+            out[prefix] = np.asarray(node)
+
+    walk(params, "")
+    return out
+
+
+def _unflatten_params(flat: Dict[str, np.ndarray]):
+    params: Dict[str, Any] = {}
+    for key, value in flat.items():
+        node, parts = params, key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return params
 
 
 def export_serving(
@@ -92,6 +119,32 @@ def export_serving(
     return jex.export(fn, platforms=platforms)(spec)
 
 
+def export_serving_shared(
+    model,
+    batch_size,
+    *,
+    kind: str = "forward",
+    pcm: bool = False,
+    num_samples: int = CLIP_SAMPLES,
+    platforms: Optional[Sequence[str]] = None,
+) -> jex.Exported:
+    """Like :func:`export_serving` but the program takes ``(params,
+    waveform)`` instead of baking the weights in as constants - so a
+    bundle with many batch buckets stores the weights ONCE (params.npz)
+    instead of duplicating ~113 MB into every program."""
+    dtype = jnp.int16 if pcm else jnp.float32
+    if batch_size == "dynamic":
+        (b,) = jex.symbolic_shape("b")
+        wav_spec = jax.ShapeDtypeStruct((b, num_samples), dtype)
+    else:
+        wav_spec = jax.ShapeDtypeStruct((int(batch_size), num_samples), dtype)
+    params_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        model.params)
+    fn = jax.jit(_inner_fn(model, kind))
+    return jex.export(fn, platforms=platforms)(params_spec, wav_spec)
+
+
 def save_bundle(
     model,
     path: str,
@@ -101,20 +154,32 @@ def save_bundle(
     pcm: bool = False,
     num_samples: int = CLIP_SAMPLES,
     platforms: Optional[Sequence[str]] = None,
+    weights: str = "baked",
 ) -> Dict[str, Any]:
-    """Export a serving bundle (one program per (kind, batch)) to ``path``."""
+    """Export a serving bundle (one program per (kind, batch)) to ``path``.
+
+    ``weights``: "baked" (default) embeds the params in every program -
+    fully self-contained blobs; "shared" stores them once in params.npz
+    and exports small parameterized programs (the right choice for many
+    buckets/kinds).
+    """
+    if weights not in ("baked", "shared"):
+        raise ValueError(f"weights must be 'baked' or 'shared', got {weights!r}")
     os.makedirs(path, exist_ok=True)
     dynamic = "dynamic" in batch_sizes
     fixed = sorted(set(int(b) for b in batch_sizes if b != "dynamic"))
+    export_one = export_serving if weights == "baked" else export_serving_shared
     entries = {}
     for kind in kinds:
         for b in fixed + (["dynamic"] if dynamic else []):
-            exp = export_serving(model, b, kind=kind, pcm=pcm,
-                                 num_samples=num_samples, platforms=platforms)
+            exp = export_one(model, b, kind=kind, pcm=pcm,
+                             num_samples=num_samples, platforms=platforms)
             fname = f"{kind}_b{b}.jaxexport"
             with open(os.path.join(path, fname), "wb") as f:
                 f.write(exp.serialize())
             entries[f"{kind}:{b}"] = fname
+    if weights == "shared":
+        np.savez(os.path.join(path, "params.npz"), **_flatten_params(model.params))
     manifest = {
         "format": "audioset_convnext_inf_tpu.aot_bundle.v1",
         "model": getattr(model.cfg, "name", "convnext"),
@@ -123,6 +188,7 @@ def save_bundle(
         "batch_sizes": fixed,
         "dynamic": dynamic,
         "kinds": list(kinds),
+        "weights": weights,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "param_count": int(model.count_parameters()),
         "jax_version": jax.__version__,
@@ -139,9 +205,11 @@ class ServingBundle:
     bucket that fits, runs the fixed-shape program, slices the pad away.
     No model code or weights are needed - everything lives in the blobs."""
 
-    def __init__(self, manifest: Dict[str, Any], programs: Dict[str, jex.Exported]):
+    def __init__(self, manifest: Dict[str, Any], programs: Dict[str, jex.Exported],
+                 params=None):
         self.manifest = manifest
         self._programs = programs
+        self._params = params  # only for weights="shared" bundles
         self._buckets = sorted(manifest["batch_sizes"])
         self._dynamic = bool(manifest.get("dynamic", False))
         self._dtype = jnp.int16 if manifest["input_dtype"] == "int16" else jnp.float32
@@ -175,7 +243,9 @@ class ServingBundle:
                              f"(kinds: {self.manifest['kinds']})")
         if b != "dynamic" and b != n:
             wav = jnp.pad(wav, ((0, b - n), (0, 0)))
-        out = self._programs[f"{kind}:{b}"].call(wav)
+        program = self._programs[f"{kind}:{b}"]
+        out = (program.call(self._params, wav) if self._params is not None
+               else program.call(wav))
         return jax.tree_util.tree_map(lambda x: x[:n], out)
 
 
@@ -230,4 +300,8 @@ def load_bundle(path: str) -> ServingBundle:
     for key, fname in manifest["entries"].items():
         with open(os.path.join(path, fname), "rb") as f:
             programs[key] = jex.deserialize(bytearray(f.read()))
-    return ServingBundle(manifest, programs)
+    params = None
+    if manifest.get("weights") == "shared":
+        with np.load(os.path.join(path, "params.npz")) as flat:
+            params = _unflatten_params({k: flat[k] for k in flat.files})
+    return ServingBundle(manifest, programs, params=params)

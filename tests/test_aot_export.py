@@ -106,6 +106,31 @@ def test_bundle_scene_kind_and_manifest(model, wav, tmp_path):
     np.testing.assert_allclose(np.asarray(emb), np.asarray(ref), atol=1e-5)
 
 
+def test_shared_weights_bundle(model, wav, tmp_path):
+    """weights='shared' stores params ONCE (params.npz) and exports small
+    parameterized programs; outputs match the baked bundle exactly and the
+    per-program artifacts shrink by ~the param bytes."""
+    baked = str(tmp_path / "baked")
+    shared = str(tmp_path / "shared")
+    save_bundle(model, baked, batch_sizes=(2, 4), num_samples=N)
+    save_bundle(model, shared, batch_sizes=(2, 4), num_samples=N,
+                weights="shared")
+
+    baked_prog = os.path.getsize(os.path.join(baked, "forward_b4.jaxexport"))
+    shared_prog = os.path.getsize(os.path.join(shared, "forward_b4.jaxexport"))
+    assert os.path.exists(os.path.join(shared, "params.npz"))
+    assert shared_prog < baked_prog / 2  # weights no longer duplicated
+
+    out_s = load_bundle(shared)(wav)
+    out_b = load_bundle(baked)(wav)
+    np.testing.assert_allclose(np.asarray(out_s["clipwise_output"]),
+                               np.asarray(out_b["clipwise_output"]),
+                               atol=1e-6)
+    ref = model.forward(wav)
+    np.testing.assert_allclose(np.asarray(out_s["clipwise_output"]),
+                               np.asarray(ref["clipwise_output"]), atol=1e-6)
+
+
 def test_dynamic_batch_bundle(model, wav, tmp_path):
     """A 'dynamic' bucket exports ONE symbolic-batch program that serves
     any batch size; fixed buckets are preferred when they fit (they are
