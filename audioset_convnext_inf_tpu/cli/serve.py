@@ -47,6 +47,10 @@ def main(argv=None) -> int:
     parser.add_argument("--top-k", type=int, default=10)
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"],
                         help="bfloat16 enables the fast tanh-GELU serving path")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard each coalesced batch across ALL local "
+                             "devices (engine/service.py::ShardedModel); "
+                             "single-chip serving doesn't need this")
     args = parser.parse_args(argv)
 
     from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
@@ -79,6 +83,15 @@ def main(argv=None) -> int:
         model = convnext_tiny(drop_path_rate=0.0, compute_dtype=compute_dtype)
         print("WARNING: no checkpoint given - serving random weights")
 
+    if args.mesh:
+        if args.bundle:
+            parser.error("--mesh shards the live model; AOT bundles are "
+                         "compiled for one device (export per-device "
+                         "bundles instead)")
+        from audioset_convnext_inf_tpu.engine.service import ShardedModel
+
+        model = ShardedModel(model)
+        print(f"mesh serving over {model.mesh.size} devices")
     service = InferenceService(model, batch_size=args.batch_size,
                                max_wait_ms=args.max_wait_ms,
                                pcm_int16=True).start()
@@ -141,13 +154,21 @@ def main(argv=None) -> int:
                         # long audio: non-overlapping 10-s windows submitted
                         # as independent clips (the batcher coalesces them
                         # into full device batches), max-reduced over
-                        # windows - tag_long_audio's default semantics
+                        # windows - tag_long_audio's default semantics.
+                        # int16 windows stay int16 (sliding_windows is
+                        # dtype-preserving) so the on-device /32767 decode
+                        # applies. Submit in bounded chunks, resolving as we
+                        # go, so one clip longer than max_queued windows
+                        # doesn't trip backpressure on an idle server.
                         windows, n = sliding_windows(wav)
-                        futs = [service.submit(w) for w in windows]
-                        ww = np.stack([
-                            f.result(timeout=600)["clipwise_output"] for f in futs
-                        ])[:n]
-                        probs = ww.max(axis=0)
+                        chunk = max(1, service.max_queued // 2)
+                        rows = []
+                        for s in range(0, len(windows), chunk):
+                            futs = [service.submit(w)
+                                    for w in windows[s : s + chunk]]
+                            rows += [f.result(timeout=600)["clipwise_output"]
+                                     for f in futs]
+                        probs = np.stack(rows)[:n].max(axis=0)
                         extra["num_windows"] = int(n)
                     else:
                         probs = service.tag(wav)["clipwise_output"]

@@ -61,27 +61,34 @@ def _serving_fn(model, kind: str):
 
 
 def _flatten_params(params) -> Dict[str, np.ndarray]:
-    out: Dict[str, np.ndarray] = {}
+    """Dotted-path -> leaf array. Handles the param tree's LIST nodes
+    (``stages``, ``downsample``) as numeric path segments; a dict-only walk
+    would np.asarray a list-of-dicts into an OBJECT array, which np.savez
+    silently pickles and np.load(allow_pickle=False) then rejects."""
+    from audioset_convnext_inf_tpu.models.convnext import _flatten_with_names
 
-    def walk(node, prefix):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                walk(v, f"{prefix}.{k}" if prefix else str(k))
-        else:
-            out[prefix] = np.asarray(node)
-
-    walk(params, "")
-    return out
+    return {".".join(path): np.asarray(leaf)
+            for path, leaf in _flatten_with_names(params)}
 
 
 def _unflatten_params(flat: Dict[str, np.ndarray]):
-    params: Dict[str, Any] = {}
+    """Inverse of :func:`_flatten_params`: all-digit key levels rebuild as
+    lists (param trees never use digit strings as dict keys)."""
+    tree: Dict[str, Any] = {}
     for key, value in flat.items():
-        node, parts = params, key.split(".")
+        node, parts = tree, key.split(".")
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         node[parts[-1]] = value
-    return params
+
+    def fix(node):
+        if isinstance(node, dict):
+            if node and all(k.isdigit() for k in node):
+                return [fix(node[k]) for k in sorted(node, key=int)]
+            return {k: fix(v) for k, v in node.items()}
+        return node
+
+    return fix(tree)
 
 
 def export_serving(
@@ -100,9 +107,10 @@ def export_serving(
     artifact accepts ANY batch size. Dynamic programs specialize (compile)
     per concrete batch at call time, so fixed buckets stay the right
     choice for a latency-sensitive server; dynamic is the overflow/offline
-    path. Note the fused Pallas kernels tile over the batch dim and cannot
-    lower with a symbolic batch - dynamic export requires a config whose
-    trunk is pure XLA (e.g. f32, or bf16 with fused_blocks disabled).
+    path. The fused Pallas kernels tile over the batch dim and cannot
+    lower with a symbolic batch - the %16 gate (models/convnext.py)
+    resolves False for symbolic dims, so a dynamic program of the bf16
+    serving config automatically takes the pure-XLA trunk.
 
     ``pcm=True`` exports the int16-PCM entry point (on-device ``x/32767``
     decode, halving ingest bandwidth - the serving path's native format).
@@ -256,10 +264,12 @@ class BundleModel:
     an AOT bundle with no model code or weights on the box.
 
     Inputs convert to the bundle's wire dtype: float audio quantizes to
-    int16 PCM for a pcm bundle (that IS the serving wire format - the
-    on-device decode divides by 32767, so round(x*32767) inverts it
-    exactly for in-range samples), and int16 decodes to float32 for a
-    float bundle (reference utilities.py:226 convention).
+    int16 PCM for a pcm bundle (that IS the serving wire format; for
+    samples already on the int16 grid the on-device /32767 decode recovers
+    them exactly, while arbitrary float32 audio is quantized to the 16-bit
+    wire grid with per-sample error bounded by 0.5/32767 ~ 1.5e-5 - expect
+    that delta when comparing pcm vs float bundles), and int16 decodes to
+    float32 for a float bundle (reference utilities.py:226 convention).
     """
 
     def __init__(self, bundle: ServingBundle):

@@ -51,12 +51,19 @@ def sliding_windows(
     hop_samples: Optional[int] = None,
 ) -> Tuple[np.ndarray, int]:
     """Split (N,) audio into (num_windows, window_samples), zero-padding the
-    tail. Returns (windows, num_windows)."""
+    tail. Returns (windows, num_windows).
+
+    dtype: int16 PCM stays int16 (windows ride the serving path's on-device
+    /32767 decode - models/api.py, engine/service.py submit); anything else
+    converts to float32. Casting int16 to float32 here WITHOUT the scale
+    would feed the model audio 32767x too large."""
     hop = hop_samples or window_samples
     n = len(waveform)
     num_windows = max(1, -(-max(n - window_samples, 0) // hop) + 1)
     total = (num_windows - 1) * hop + window_samples
-    padded = np.pad(waveform.astype(np.float32), (0, max(0, total - n)))
+    if waveform.dtype != np.int16:
+        waveform = waveform.astype(np.float32)
+    padded = np.pad(waveform, (0, max(0, total - n)))
     return (
         np.stack([padded[i * hop : i * hop + window_samples] for i in range(num_windows)]),
         num_windows,

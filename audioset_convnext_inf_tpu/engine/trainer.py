@@ -356,6 +356,7 @@ class Trainer:
         leave it unset for throughput runs and read the log lines instead.
         """
         t0 = time.time()
+        loss = None
 
         def sync_loss(loss, it: int) -> float:
             """Fetch the step loss; a deferred device error lands here."""
@@ -417,3 +418,12 @@ class Trainer:
                 t0 = time.time()
             if early_stop is not None and self.state.step >= early_stop:
                 break
+        # final sync: with async dispatch, the trailing < log_interval steps
+        # never hit a sync point - surface their deferred device errors /
+        # non-finite losses before reporting success
+        if loss is not None:
+            lossf = sync_loss(loss, self.state.step - 1)
+            if not np.isfinite(lossf):
+                logging.warning(
+                    "non-finite loss %.4f at final iter %d",
+                    lossf, self.state.step - 1)

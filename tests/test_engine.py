@@ -120,6 +120,15 @@ def test_sliding_windows():
     # short audio: single zero-padded window
     w, n = sliding_windows(np.ones(30, np.float32), 100)
     assert n == 1 and w.shape == (1, 100) and w[0, 30:].sum() == 0
+    # int16 PCM stays int16 (rides the on-device /32767 decode); casting
+    # to float32 here without the scale fed the model audio 32767x too
+    # large (round-4 advisor finding)
+    xi = (np.arange(250) - 125).astype(np.int16)
+    wi, ni = sliding_windows(xi, window_samples=100, hop_samples=50)
+    assert wi.dtype == np.int16 and ni == 4
+    np.testing.assert_array_equal(wi[0], xi[:100])
+    # float64 / int32 inputs still convert to float32
+    assert sliding_windows(np.ones(30, np.float64), 100)[0].dtype == np.float32
 
 
 class _FakeModel:
