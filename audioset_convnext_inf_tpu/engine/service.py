@@ -35,6 +35,82 @@ class ServiceOverloaded(RuntimeError):
     """The request queue is full (``max_queued``); shed load upstream."""
 
 
+class ShardedModel:
+    """Mesh-sharded serving forward with the live-model call contract.
+
+    BASELINE.json config 5 (streaming tagging + embedding service on a
+    v5e-8) shards each coalesced batch across the device mesh instead of
+    running it on one chip. Wraps a :class:`~...models.api.ConvNeXt`:
+    params replicate over the mesh once; each ``forward`` device_puts the
+    batch with the leading dim sharded over the 1-D ``data`` axis and runs
+    the forward under ``shard_map`` - per-device whole-model execution, so
+    the fused Pallas stage kernels (for which GSPMD has no partitioning
+    rule) run on local shards, exactly the engine/evaluator.py recipe.
+    There are no collectives inside: serving is per-clip independent.
+
+    Drop-in for :class:`InferenceService`'s ``model`` (same dict outputs,
+    ``forward_scene_embeddings`` for the /embed endpoint). Batches whose
+    length doesn't divide the mesh are zero-padded and trimmed, so any
+    ``batch_size`` works, but a multiple of ``mesh.size`` avoids waste.
+    """
+
+    def __init__(self, model, mesh=None):
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from audioset_convnext_inf_tpu.models import convnext as F
+        from audioset_convnext_inf_tpu.parallel.mesh import (
+            batch_sharding,
+            get_mesh,
+            replicate,
+        )
+
+        self.mesh = mesh if mesh is not None else get_mesh()
+        cfg, frontend = model.cfg, model.frontend
+        compute_dtype = model.compute_dtype
+
+        def _call(fn):
+            def wrapped(params, waveform):
+                if waveform.dtype == jnp.int16:
+                    waveform = waveform.astype(jnp.float32) * INT16_SCALE
+                return fn(params, waveform, cfg=cfg, frontend=frontend,
+                          compute_dtype=compute_dtype)
+            if self.mesh.size > 1:
+                wrapped = shard_map(
+                    wrapped, mesh=self.mesh,
+                    in_specs=(P(), P("data")), out_specs=P("data"),
+                    check_vma=False,
+                )
+            return jax.jit(wrapped)
+
+        self._fwd = _call(F.forward)
+        self._scene = _call(F.forward_scene_embeddings)
+        self._sharding = batch_sharding(self.mesh)
+        self.params = jax.device_put(model.params, replicate(self.mesh))
+
+    def _put(self, waveform):
+        import jax
+
+        x = np.asarray(waveform)
+        pad = (-x.shape[0]) % self.mesh.size
+        if pad:
+            x = np.pad(x, ((0, pad), (0, 0)))
+        return jax.device_put(x, self._sharding), x.shape[0] - pad
+
+    def forward(self, waveform) -> Dict[str, np.ndarray]:
+        x, n = self._put(waveform)
+        out = self._fwd(self.params, x)
+        if n != x.shape[0]:
+            out = {k: v[:n] for k, v in out.items()}
+        return out
+
+    def forward_scene_embeddings(self, waveform):
+        x, n = self._put(waveform)
+        return self._scene(self.params, x)[:n]
+
+
 class InferenceService:
     def __init__(
         self,
@@ -59,6 +135,10 @@ class InferenceService:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._started = False
+        # counters are read-modify-write from client threads (requests/
+        # rejected) AND the worker (batches/clips) - guard with a lock so
+        # /healthz numbers don't drop updates under concurrency
+        self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "clips": 0}
 
     # -- lifecycle -----------------------------------------------------------
@@ -114,11 +194,13 @@ class InferenceService:
         try:
             self._queue.put_nowait((wav, fut))
         except queue.Full:
-            self.stats["rejected"] = self.stats.get("rejected", 0) + 1
+            with self._stats_lock:
+                self.stats["rejected"] = self.stats.get("rejected", 0) + 1
             raise ServiceOverloaded(
                 f"request queue full ({self.max_queued} clips queued)"
             ) from None
-        self.stats["requests"] += 1
+        with self._stats_lock:
+            self.stats["requests"] += 1
         return fut
 
     def tag(self, waveform: np.ndarray, timeout: Optional[float] = 60.0) -> Dict[str, np.ndarray]:
@@ -175,8 +257,9 @@ class InferenceService:
             for _, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
-            self.stats["batches"] += 1
-            self.stats["clips"] += n
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["clips"] += n
             return None
 
     def _resolve(self, out, batch: List) -> None:
@@ -192,5 +275,6 @@ class InferenceService:
             for _, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
-        self.stats["batches"] += 1
-        self.stats["clips"] += len(batch)
+        with self._stats_lock:
+            self.stats["batches"] += 1
+            self.stats["clips"] += len(batch)

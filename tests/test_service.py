@@ -158,6 +158,21 @@ def test_http_server_end_to_end(tmp_path):
         assert out_long["num_windows"] == 3
         assert len(out_long["probs"]) == 10
         assert all(0.0 <= p <= 1.0 for p in out_long["probs"])
+
+        # long-audio int16 parity (regression: int16 windows previously hit
+        # the model unscaled, 32767x too large): the same 25-s audio on the
+        # int16 wire grid must match the float path up to quantization
+        audio = np.random.RandomState(1).randn(800000) * 0.1
+        i16 = np.clip(np.round(audio * 32767.0), -32768, 32767).astype("<i2")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tag", data=i16.tobytes(),
+            headers={"Content-Type": "application/pcm-int16"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out_i16 = json.load(r)
+        assert out_i16["num_windows"] == 3
+        assert out_i16["indexes"] == out_long["indexes"]
+        np.testing.assert_allclose(out_i16["probs"], out_long["probs"], atol=1e-3)
     finally:
         models_mod.convnext_tiny = real_factory
 
@@ -260,3 +275,49 @@ def test_service_mixed_dtype_batch_promotes_on_host():
     assert all(d == np.float32 for d in model.dtypes)
     np.testing.assert_allclose(r1["clipwise_output"][0], 16384.0 / 32767.0, atol=1e-6)
     np.testing.assert_allclose(r2["clipwise_output"][0], 0.5, atol=1e-6)
+
+
+def test_mesh_sharded_service_matches_single_device(monkeypatch):
+    """Batcher + ShardedModel + shard_map + fused-kernel serving config on
+    the 8-device CPU mesh (BASELINE config 5's layout): every concurrently
+    submitted clip resolves to the single-device jit result, fanned back to
+    the right caller."""
+    import jax
+
+    from audioset_convnext_inf_tpu.engine.service import ShardedModel
+    from audioset_convnext_inf_tpu.models import convnext as F
+    from audioset_convnext_inf_tpu.models.api import ConvNeXt
+    from audioset_convnext_inf_tpu.parallel.mesh import get_mesh
+
+    monkeypatch.setattr(F, "_FUSED_ON_CPU", True)
+    cfg = ConvNeXtConfig(name="mesh_svc", depths=(1, 1, 1, 1),
+                         dims=(32, 64, 128, 256), drop_path_rate=0.0,
+                         block_impl="xla_approx")
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    model = ConvNeXt(cfg, params)
+    sharded = ShardedModel(model, mesh=get_mesh(jax.devices()[:8]))
+
+    rng = np.random.RandomState(0)
+    clips = (rng.randn(24, 8000) * 0.1).astype(np.float32)
+    # batch 16 -> per-device batch 2 pads up inside ShardedModel; the
+    # fused batch%16 gate is per-LOCAL-batch, exercised via the warmup
+    # (16 rows over 8 devices -> padded), correctness is what's asserted
+    with InferenceService(sharded, batch_size=16, max_wait_ms=50,
+                          clip_samples=8000) as svc:
+        futs = [svc.submit(c) for c in clips]
+        got = np.stack([f.result(timeout=120)["clipwise_output"] for f in futs])
+    want = np.asarray(model.forward(clips)["clipwise_output"])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert svc.stats["requests"] == 24 and svc.stats["batches"] <= 4
+
+    # int16 PCM rides the on-device decode through the sharded path too
+    i16 = np.clip(np.round(clips[0] * 32767), -32768, 32767).astype(np.int16)
+    with InferenceService(sharded, batch_size=8, max_wait_ms=5,
+                          clip_samples=8000, pcm_int16=True) as svc:
+        out = svc.tag(i16, timeout=120)
+    np.testing.assert_allclose(out["clipwise_output"], want[0], atol=2e-4)
+
+    # /embed surface: sharded scene embeddings match the live model
+    emb_s = np.asarray(sharded.forward_scene_embeddings(clips[:8]))
+    emb_1 = np.asarray(model.forward_scene_embeddings(clips[:8]))
+    np.testing.assert_allclose(emb_s, emb_1, atol=1e-5)
