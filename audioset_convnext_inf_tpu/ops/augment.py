@@ -4,6 +4,11 @@ Behavioral equivalents of pytorch/augmentations.py:
 
  - :func:`crop`  / :func:`pad`  - 4 alignments each (augmentations.py:16-203)
  - :func:`resample_nearest`     - nearest-index resampling (:266-275)
+ - :func:`resample_linear`      - the Resample class's "linear" mode
+                                  (:244-258): windowed-sinc polyphase
+                                  resampling with torchaudio's
+                                  sinc_interp_hann semantics, host-side
+ - :func:`resample`             - Resample(interpolation=...) dispatcher
  - :func:`speed_perturb`        - resample + pad + crop to original length,
                                   rate ~ U(rates), applied with prob p (:278-329)
  - :func:`gain_augment`         - "pydub" +-N dB random gain (:336-341)
@@ -141,6 +146,121 @@ def speed_perturb(
     out = jnp.take(x, src, axis=-1) * valid.astype(x.dtype)
     apply = jax.random.uniform(pkey, ()) <= p
     return jnp.where(apply, out, x)
+
+
+def sinc_resample_kernel(
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+):
+    """Polyphase windowed-sinc kernel bank (torchaudio sinc_interp_hann
+    semantics, the backend of the reference Resample class's "linear"
+    interpolation mode, augmentations.py:253-258).
+
+    For gcd-reduced integer rates (orig_freq -> new_freq), phase p of the
+    output interleave samples the continuous-time reconstruction at
+    t = -p/new_freq relative to each input frame:
+
+        w(t) = scale * sinc(pi * f_c * t) * cos(pi * f_c * t / (2W))^2,
+        f_c = rolloff * min(orig, new),  |f_c * t| <= W,
+        scale = f_c / orig_freq
+
+    Returns (kernels (new_freq, 2*width + orig_freq) float64, width).
+    """
+    import math
+
+    import numpy as np
+
+    g = math.gcd(int(orig_freq), int(new_freq))
+    orig_freq, new_freq = int(orig_freq) // g, int(new_freq) // g
+    base_freq = min(orig_freq, new_freq) * rolloff
+    width = math.ceil(lowpass_filter_width * orig_freq / base_freq)
+    idx = np.arange(-width, width + orig_freq, dtype=np.float64) / orig_freq
+    t = np.arange(0, -new_freq, -1, dtype=np.float64)[:, None] / new_freq + idx
+    t *= base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+    window = np.cos(t * np.pi / lowpass_filter_width / 2.0) ** 2
+    t *= np.pi
+    kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
+    kernels *= window * (base_freq / orig_freq)
+    return kernels, width
+
+
+def resample_linear(
+    x,
+    rate: float,
+    sample_rate: int = 32000,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+):
+    """The reference Resample class's "linear" mode (augmentations.py:
+    244-258): resample from ``sample_rate`` to ``int(sample_rate * rate)``
+    with a windowed-sinc polyphase filter (torchaudio Resample defaults:
+    sinc_interp_hann, width 6, rolloff 0.99). Output length is
+    ceil(L * new / orig).
+
+    Host-side numpy (this is a data-plane augmentation applied per clip
+    before batching; the hot loop is ONE GEMM - the padded signal framed at
+    stride orig_freq against the (new_freq, taps) kernel bank - so BLAS,
+    not Python, does the work). Trailing-axis only, 1-D or batched 2-D.
+    """
+    import math
+
+    import numpy as np
+
+    x = np.asarray(x)
+    orig_freq = int(sample_rate)
+    new_freq = int(sample_rate * rate)
+    if new_freq <= 0:
+        raise ValueError(f"rate {rate} yields non-positive target rate")
+    g = math.gcd(orig_freq, new_freq)
+    orig_freq, new_freq = orig_freq // g, new_freq // g
+    if orig_freq == new_freq:
+        return x.astype(np.float32, copy=False)
+    kernels, width = sinc_resample_kernel(
+        orig_freq, new_freq, lowpass_filter_width, rolloff)
+    squeeze = x.ndim == 1
+    xb = x.reshape(-1, x.shape[-1]).astype(np.float64)
+    n_wav, length = xb.shape
+    target_length = math.ceil(new_freq * length / orig_freq)
+    padded = np.pad(xb, ((0, 0), (width, width + orig_freq)))
+    taps = kernels.shape[1]  # 2*width + orig_freq
+    n_frames = (padded.shape[1] - taps) // orig_freq + 1
+    frames = np.lib.stride_tricks.as_strided(
+        padded,
+        shape=(n_wav, n_frames, taps),
+        strides=(padded.strides[0], orig_freq * padded.strides[1],
+                 padded.strides[1]),
+    )
+    # (n_wav, n_frames, taps) @ (taps, new_freq) -> interleave phases
+    out = frames @ kernels.T
+    out = out.reshape(n_wav, -1)[:, :target_length].astype(np.float32)
+    return out[0] if squeeze else out
+
+
+def resample(
+    x,
+    rate: float,
+    interpolation: str = "nearest",
+    sample_rate: int = 32000,
+):
+    """Resample.process at a given rate (augmentations.py:243-263):
+    ``nearest`` gathers round(i/rate) indices; ``linear`` runs the
+    windowed-sinc polyphase path. Rate sampling (U(rates)) and the apply
+    probability live with the caller, as keyed JAX randomness upstream."""
+    import numpy as np
+
+    if interpolation == "nearest":
+        x = np.asarray(x)
+        length = x.shape[-1]
+        idx = np.round(np.arange(0, length, 1.0 / rate)).astype(np.int64)
+        return np.take(x, np.minimum(idx, length - 1), axis=-1)
+    if interpolation == "linear":
+        return resample_linear(x, rate, sample_rate)
+    raise ValueError(
+        f"invalid interpolation {interpolation!r}; must be one of "
+        f"('nearest', 'linear')")
 
 
 def gain_augment(key: jax.Array, x: Array, gain_db: int = 7) -> Array:

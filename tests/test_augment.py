@@ -107,3 +107,87 @@ def test_speed_perturb_random_align_distribution():
     # p=0 never applies
     same = speed_perturb(jax.random.PRNGKey(5), x, rates=(0.5, 0.5), p=0.0)
     np.testing.assert_array_equal(np.asarray(same), np.asarray(x))
+
+
+def _sinc_resample_direct(x, orig_freq, new_freq, W=6, rolloff=0.99):
+    """Independent O(N*M) oracle for the windowed-sinc resampler, evaluated
+    straight from the continuous-time reconstruction formula (the spec the
+    polyphase-GEMM implementation factorizes):
+
+        out[i] = scale * sum_j x[j] * sinc(pi f_c tau) * cos(pi f_c tau/(2W))^2,
+        tau = j/orig - i/new, |f_c tau| <= W, f_c = rolloff*min(orig,new),
+        scale = f_c/orig
+
+    No framing, no strides, no kernel bank - just the sum."""
+    import math
+
+    g = math.gcd(orig_freq, new_freq)
+    orig_freq, new_freq = orig_freq // g, new_freq // g
+    fc = rolloff * min(orig_freq, new_freq)
+    L = len(x)
+    out = np.zeros(math.ceil(new_freq * L / orig_freq))
+    j = np.arange(L, dtype=np.float64)
+    for i in range(len(out)):
+        t = fc * (j / orig_freq - i / new_freq)
+        m = np.abs(t) <= W
+        tm = t[m]
+        sinc = np.where(tm == 0, 1.0, np.sin(np.pi * tm) / np.where(tm == 0, 1.0, np.pi * tm))
+        out[i] = (x[m] * sinc * np.cos(np.pi * tm / (2 * W)) ** 2).sum()
+    return (fc / orig_freq) * out
+
+
+@pytest.mark.parametrize("rate", [0.5, 0.737, 1.29, 1.5])
+def test_resample_linear_matches_direct_formula(rate):
+    from audioset_convnext_inf_tpu.ops.augment import resample_linear
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(1777).astype(np.float32)
+    out = resample_linear(x, rate, sample_rate=32000)
+    ref = _sinc_resample_direct(x.astype(np.float64), 32000, int(32000 * rate))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_resample_linear_identity_and_lengths():
+    from audioset_convnext_inf_tpu.ops.augment import resample_linear
+
+    import math
+
+    x = np.random.RandomState(1).randn(1000).astype(np.float32)
+    np.testing.assert_array_equal(resample_linear(x, 1.0), x)
+    for rate in (0.5, 0.9, 1.1, 2.0):
+        new = int(32000 * rate)
+        g = math.gcd(32000, new)
+        expect = math.ceil((new // g) * 1000 / (32000 // g))
+        assert resample_linear(x, rate).shape == (expect,)
+    # batched 2-D input resamples each row
+    xb = np.stack([x, 2 * x])
+    ob = resample_linear(xb, 0.5)
+    np.testing.assert_allclose(ob[1], 2 * ob[0], rtol=1e-6)
+
+
+def test_resample_linear_preserves_tone_frequency():
+    """A pure tone resampled by rate r lands at f/r cycles-per-sample: the
+    sinc path is a real RESAMPLER (band-limited interpolation), unlike the
+    aliasing nearest-neighbor gather."""
+    from audioset_convnext_inf_tpu.ops.augment import resample_linear
+
+    sr, f0, rate = 32000, 2000.0, 1.25
+    n = 4000
+    x = np.sin(2 * np.pi * f0 * np.arange(n) / sr).astype(np.float32)
+    y = resample_linear(x, rate, sample_rate=sr)
+    spec = np.abs(np.fft.rfft(y[200:-200] * np.hanning(len(y) - 400)))
+    peak = np.argmax(spec) / (len(y) - 400)  # cycles per output sample
+    assert abs(peak - (f0 / sr) / rate) < 2e-4
+
+
+def test_resample_dispatcher():
+    from audioset_convnext_inf_tpu.ops.augment import resample, resample_linear
+
+    x = np.random.RandomState(2).randn(500).astype(np.float32)
+    # nearest: the reference's round(i/rate) gather (augmentations.py:266-275)
+    idx = np.round(np.arange(0, 500, 1 / 0.8)).astype(np.int64)
+    np.testing.assert_array_equal(resample(x, 0.8, "nearest"), x[np.minimum(idx, 499)])
+    np.testing.assert_array_equal(resample(x, 0.8, "linear"), resample_linear(x, 0.8))
+    with pytest.raises(ValueError):
+        resample(x, 0.8, "cubic")
