@@ -247,10 +247,17 @@ def forward_features(
     # (in interpret mode on CPU the kernel is orders of magnitude slower
     # than the XLA fallback; tests opt back in via _FUSED_ON_CPU)
     batch = x.shape[0]
+    try:
+        # symbolic batch dims (jax.export dynamic-batch serving programs)
+        # can't decide the %16 tiling gate - those programs take the pure
+        # XLA trunk (engine/aot_export.py: dynamic is the overflow path)
+        batch_aligned = int(batch) % 16 == 0
+    except Exception:  # InconclusiveDimensionOperation on symbolic dims
+        batch_aligned = False
     on_tpu = jax.default_backend() in ("tpu", "axon") or _FUSED_ON_CPU
     fused_stages = (
         block_impl == "xla_approx"
-        and train_key is None and batch % 16 == 0
+        and train_key is None and batch_aligned
         and on_tpu
     )
     # Training: route stages 3-4 through the fused kernels with the fused
@@ -260,7 +267,7 @@ def forward_features(
     fused_train = (
         cfg.fused_train_blocks
         and block_impl == "xla_approx"
-        and train_key is not None and batch % 16 == 0
+        and train_key is not None and batch_aligned
         and on_tpu
         and cfg.layer_scale_init_value > 0
         and not cfg.remat_blocks

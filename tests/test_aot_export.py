@@ -119,7 +119,13 @@ def test_shared_weights_bundle(model, wav, tmp_path):
     baked_prog = os.path.getsize(os.path.join(baked, "forward_b4.jaxexport"))
     shared_prog = os.path.getsize(os.path.join(shared, "forward_b4.jaxexport"))
     assert os.path.exists(os.path.join(shared, "params.npz"))
-    assert shared_prog < baked_prog / 2  # weights no longer duplicated
+    # weights no longer duplicated: each program shrinks by ~the param
+    # bytes. (Both still embed the frontend DFT/mel matrices as constants,
+    # which dominate at this tiny test width - so compare against the param
+    # footprint, not a fixed fraction.)
+    param_bytes = sum(v.nbytes for v in
+                      jax.tree_util.tree_leaves(model.params))
+    assert shared_prog <= baked_prog - 0.8 * param_bytes
 
     out_s = load_bundle(shared)(wav)
     out_b = load_bundle(baked)(wav)
@@ -213,3 +219,23 @@ def test_bundle_int16_pcm_entry(model, tmp_path):
                                np.asarray(ref["clipwise_output"]), atol=1e-6)
     with pytest.raises(ValueError):
         bundle(pcm.astype(np.float32))
+
+
+def test_dynamic_export_with_fused_serving_config(monkeypatch):
+    """A dynamic (symbolic-batch) export of the xla_approx serving config
+    must trace: the fused-kernel %16 gate cannot be decided for a symbolic
+    dim, so it resolves False and the program takes the pure-XLA trunk
+    (engine/aot_export.py docs). Before round 5 this raised
+    InconclusiveDimensionOperation."""
+    monkeypatch.setattr(F, "_FUSED_ON_CPU", True)
+    cfg = ConvNeXtConfig(name="aot_dyn_fused", depths=(1, 1, 1, 1),
+                         dims=(16, 32, 64, 128), drop_path_rate=0.0,
+                         block_impl="xla_approx")
+    m = ConvNeXt(cfg, F.init_params(jax.random.PRNGKey(0), cfg))
+    exp = export_serving(m, "dynamic", num_samples=N)
+    rng = np.random.RandomState(1)
+    for b in (2, 5):
+        w = (rng.randn(b, N) * 0.1).astype(np.float32)
+        out = np.asarray(exp.call(w)["clipwise_output"])
+        ref = np.asarray(m.forward(w)["clipwise_output"])
+        np.testing.assert_allclose(out, ref, atol=1e-6)
