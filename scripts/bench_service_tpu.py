@@ -1,9 +1,16 @@
-"""Service-level characterization on the real chip (round 4, item 2).
+"""Service-level characterization on the real chip (round 5).
 
 Drives ``engine/service.py`` — the dynamic-batching analog of the
 reference's inference entry (pytorch/inference.py:19-240) — under
 concurrent client load, and runs ``scripts/bench_latency.py``-style
-small-batch latency, writing one combined ``LATENCY_r04.json``.
+small-batch latency, writing one combined ``LATENCY_r05.json``.
+
+Phase 0 isolates the BATCHER's own cost from device compute and relay
+transport (round-4 VERDICT weak #6): the same client load drives the
+identical threading machinery against an instant host-side fake model, so
+clips/s there is the pure queueing/coalescing/future-fan-out ceiling. The
+non-relay service projection is then
+1 / (batcher_overhead_per_clip + compute_per_clip[bench.py]).
 
 Load phase: K client threads each keep a bounded window of int16-PCM
 clips in flight (closed loop), the service coalesces them into B-row
@@ -54,43 +61,70 @@ def main() -> None:
 
     model = convnext_tiny(drop_path_rate=0.0, seed=0, compute_dtype=jnp.bfloat16)
 
-    # ---- phase 1: dynamic-batching service under concurrent load ----------
     rng = np.random.RandomState(0)
     clip = (rng.randn(CLIP_SAMPLES) * 6000).astype(np.int16)
     per_client = args.clips // args.clients
-    latencies: list = []
-    lat_lock = threading.Lock()
 
-    svc = InferenceService(model, batch_size=args.batch_size,
-                           max_wait_ms=args.max_wait_ms, pcm_int16=True).start()
-    # prime: one full batch through the service before timing
-    [f.result(timeout=600) for f in [svc.submit(clip) for _ in range(args.batch_size)]]
+    def drive(svc):
+        """K closed-loop clients against ``svc``; returns (latencies, wall)."""
+        latencies: list = []
+        lat_lock = threading.Lock()
+        # prime: one full batch through the service before timing
+        [f.result(timeout=600)
+         for f in [svc.submit(clip) for _ in range(args.batch_size)]]
 
-    def client():
-        from collections import deque
+        def client():
+            from collections import deque
 
-        window = deque()
-        local = []
-        for _ in range(per_client):
-            window.append((time.perf_counter(), svc.submit(clip)))
-            while len(window) >= args.inflight:
+            window = deque()
+            local = []
+            for _ in range(per_client):
+                window.append((time.perf_counter(), svc.submit(clip)))
+                while len(window) >= args.inflight:
+                    t0, fut = window.popleft()
+                    fut.result(timeout=600)
+                    local.append(time.perf_counter() - t0)
+            while window:
                 t0, fut = window.popleft()
                 fut.result(timeout=600)
                 local.append(time.perf_counter() - t0)
-        while window:
-            t0, fut = window.popleft()
-            fut.result(timeout=600)
-            local.append(time.perf_counter() - t0)
-        with lat_lock:
-            latencies.extend(local)
+            with lat_lock:
+                latencies.extend(local)
 
-    threads = [threading.Thread(target=client) for _ in range(args.clients)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    wall = time.perf_counter() - t0
+        threads = [threading.Thread(target=client) for _ in range(args.clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return latencies, time.perf_counter() - t0
+
+    # ---- phase 0: batcher-only ceiling (instant fake model, no device) ----
+    class _InstantModel:
+        """Host-side no-op with the forward contract: isolates the
+        batcher machinery (queue, coalesce, pad, future fan-out)."""
+
+        def forward(self, wav):
+            z = np.zeros((wav.shape[0], 527), np.float32)
+            return {"clipwise_output": z, "clipwise_logits": z}
+
+    svc0 = InferenceService(_InstantModel(), batch_size=args.batch_size,
+                            max_wait_ms=args.max_wait_ms, pcm_int16=True).start()
+    lat0, wall0 = drive(svc0)
+    svc0.stop()
+    batcher_us_per_clip = wall0 / len(lat0) * 1e6
+    batcher = {
+        "clips": len(lat0),
+        "wall_s": round(wall0, 3),
+        "clips_per_sec": round(len(lat0) / wall0, 1),
+        "overhead_us_per_clip": round(batcher_us_per_clip, 1),
+    }
+    print("batcher-only:", json.dumps(batcher), flush=True)
+
+    # ---- phase 1: dynamic-batching service under concurrent load ----------
+    svc = InferenceService(model, batch_size=args.batch_size,
+                           max_wait_ms=args.max_wait_ms, pcm_int16=True).start()
+    latencies, wall = drive(svc)
     svc.stop()
 
     n_done = len(latencies)

@@ -11,7 +11,7 @@ any misalignment anywhere in the chain: shuffled clips, broken label join,
 wrong pad handling, or metric bugs all crash mAP toward chance (0.0625).
 
 Gates: eval-subset mAP >= 0.9 at batch 256 in the bf16 serving config,
-both subsets evaluated, d-prime finite. Writes EVAL_E2E_r04.json.
+both subsets evaluated, d-prime finite. Writes EVAL_E2E_r05.json.
 
 Run:  cd /root/repo && python scripts/eval_e2e_tpu.py
 """
@@ -115,7 +115,7 @@ def main() -> None:
             "reference": "evaluate_convnext_on_audioset.py:22-118",
         },
     }
-    with open(os.path.join(REPO, "EVAL_E2E_r04.json"), "w") as f:
+    with open(os.path.join(REPO, "EVAL_E2E_r05.json"), "w") as f:
         json.dump(result, f, indent=2)
         f.write("\n")
     print(json.dumps(result))

@@ -1,6 +1,8 @@
 """Driver-contract tests: entry() compiles single-(virtual-)chip, and the
 multichip dry run executes one sharded training step."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -17,6 +19,12 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(probs).all() and (probs >= 0).all() and (probs <= 1).all()
 
 
+@pytest.mark.skipif(
+    not os.environ.get("RUN_DRYRUN_TEST"),
+    reason="the driver runs the real dryrun_multichip(8) itself every round "
+    "(MULTICHIP artifact); at flagship dims it takes several minutes on the "
+    "virtual CPU mesh, so the suite skips it - set RUN_DRYRUN_TEST=1 to run",
+)
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 
