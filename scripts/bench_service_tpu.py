@@ -187,10 +187,11 @@ def main() -> None:
             "chained_latency_ms": dict(chained, iters=args.latency_iters,
                                        dtype="bfloat16", block_impl="xla_approx"),
             "dynamic_batching_service": service,
+            "batcher_only": batcher,
         },
     }
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "LATENCY_r04.json"), "w") as f:
+    with open(os.path.join(repo, "LATENCY_r05.json"), "w") as f:
         json.dump(artifact, f, indent=2)
     print(json.dumps({"metric": artifact["metric"], "b1_ms": artifact["value"],
                       "service_clips_per_sec": service["clips_per_sec"]}), flush=True)
