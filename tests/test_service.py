@@ -321,3 +321,78 @@ def test_mesh_sharded_service_matches_single_device(monkeypatch):
     emb_s = np.asarray(sharded.forward_scene_embeddings(clips[:8]))
     emb_1 = np.asarray(model.forward_scene_embeddings(clips[:8]))
     np.testing.assert_allclose(emb_s, emb_1, atol=1e-5)
+
+
+def test_http_server_mesh_flag():
+    """cli.serve --mesh end-to-end: the HTTP service answers /tag and
+    /embed with batches sharded over the 8-device CPU mesh
+    (ShardedModel), and reports the same answers as the live model."""
+    import json
+    import socket
+    import time
+    import urllib.request
+
+    import jax
+
+    from audioset_convnext_inf_tpu.models import convnext as F
+    from audioset_convnext_inf_tpu.models.api import ConvNeXt
+
+    cfg = ConvNeXtConfig(name="svc_mesh", depths=(1, 1, 1, 1),
+                         dims=(8, 16, 32, 64), drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(0), cfg)
+    model = ConvNeXt(cfg, params)
+
+    import audioset_convnext_inf_tpu.cli.serve as serve_mod
+    import audioset_convnext_inf_tpu.models as models_mod
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    real_factory = models_mod.convnext_tiny
+    models_mod.convnext_tiny = lambda **kw: model
+
+    def run():
+        serve_mod.main(["--port", str(port), "--batch-size", "8",
+                        "--max-wait-ms", "5", "--mesh"])
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 180
+        health = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                    health = json.load(r)
+                break
+            except Exception:
+                time.sleep(0.5)
+        assert health and health["status"] == "ok"
+
+        wav = (np.random.RandomState(0).randn(32000) * 0.1).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/tag", data=wav.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        # same top-k as the live single-device model
+        full = np.zeros(320000, np.float32)
+        full[:32000] = wav
+        ref = np.asarray(model.forward(full[None])["clipwise_output"])[0]
+        want = np.argsort(ref)[::-1][:10]
+        assert out["indexes"] == [int(i) for i in want]
+        np.testing.assert_allclose(out["probs"], ref[want], atol=1e-5)
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/embed", data=wav.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            emb = json.load(r)["embedding"]
+        ref_emb = np.asarray(model.forward_scene_embeddings(full[None]))[0]
+        np.testing.assert_allclose(emb, ref_emb, atol=1e-5)
+    finally:
+        models_mod.convnext_tiny = real_factory
