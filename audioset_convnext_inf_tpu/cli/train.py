@@ -27,12 +27,24 @@ def main(argv=None) -> int:
     parser.add_argument("--bal-indexes", default=None)
     parser.add_argument("--model", default="convnext_tiny")
     parser.add_argument("--after-stem-dim", type=int, nargs="+", default=[252, 56])
+    # frontend geometry (main.py:939-944 flags; defaults here follow the
+    # published ConvNeXt recipe - 224 mel bins per checkpoints/config.yaml -
+    # not main.py's PANN-era default of 64)
+    parser.add_argument("--sample-rate", type=int, default=32000)
+    parser.add_argument("--window-size", type=int, default=1024)
+    parser.add_argument("--hop-size", type=int, default=320)
+    parser.add_argument("--mel-bins", type=int, default=224)
+    parser.add_argument("--fmin", type=float, default=50.0)
+    parser.add_argument("--fmax", type=float, default=14000.0)
     parser.add_argument("--sampler", default="balanced", choices=["uniform", "balanced", "alternate"])
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--max-lr", type=float, default=4e-4)
     parser.add_argument("--total-steps", type=int, default=75000)
     parser.add_argument("--optimizer", default="adamw", choices=["adam", "adamw"])
     parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--use-wd-scheduler", action="store_true",
+                        help="schedule weight decay over training "
+                             "(main.py --use_wd_scheduler)")
     parser.add_argument("--mixup-alpha", type=float, default=0.0)
     parser.add_argument("--drop-path-rate", type=float, default=0.1)
     parser.add_argument("--accumulation-steps", type=int, default=1)
@@ -126,7 +138,11 @@ def main(argv=None) -> int:
         block_impl=args.block_impl,
         remat_blocks=args.remat_blocks,
         fused_train_blocks=args.fused_train_blocks,
-        frontend=FrontendConfig(precision=fe_precision),
+        frontend=FrontendConfig(
+            precision=fe_precision, sample_rate=args.sample_rate,
+            n_fft=args.window_size, win_length=args.window_size,
+            hop_length=args.hop_size, n_mels=args.mel_bins,
+            fmin=args.fmin, fmax=args.fmax),
     )
     cfg = model.cfg
     params = model.params
@@ -137,6 +153,7 @@ def main(argv=None) -> int:
         max_lr=args.max_lr,
         total_steps=args.total_steps,
         weight_decay=args.weight_decay,
+        use_wd_schedule=args.use_wd_scheduler,
         accumulation_steps=args.accumulation_steps,
         mixup_alpha=args.mixup_alpha,
         seed=args.seed,
