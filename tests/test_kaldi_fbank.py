@@ -135,3 +135,67 @@ def test_fbank_matches_frozen_goldens(name):
     np.testing.assert_allclose(fb[0, 0], v00, atol=2e-3)
     np.testing.assert_allclose(fb[-1, -1], vLL, atol=2e-3)
     np.testing.assert_allclose(fb[shape[0] // 2, 112], vmid, atol=2e-3)
+
+
+def _kaldi_fbank_direct(x, sample_rate=32000, num_mel_bins=224,
+                        frame_length_ms=64.0, frame_shift_ms=10.0,
+                        preemphasis=0.97):
+    """Independent per-frame oracle evaluated straight from the Kaldi spec
+    (per-frame python loop, explicit DFT sums, pointwise triangular mel
+    weights) - no shared vectorization, framing gather, np.hanning, or
+    matmul with the implementation under test."""
+    import math
+
+    frame_len = int(sample_rate * frame_length_ms / 1000.0)
+    shift = int(sample_rate * frame_shift_ms / 1000.0)
+    padded = 1
+    while padded < frame_len:
+        padded *= 2
+    num_frames = max(0, 1 + (len(x) - frame_len) // shift)
+    eps = 1.1920928955078125e-07
+
+    # mel filter weights, one (bin, fft-bin) at a time from the formula
+    def mel(f):
+        return 1127.0 * math.log(1.0 + f / 700.0)
+
+    mel_low, mel_high = mel(20.0), mel(sample_rate / 2.0)
+    mel_delta = (mel_high - mel_low) / (num_mel_bins + 1)
+    n_fft_bins = padded // 2
+    weights = np.zeros((num_mel_bins, n_fft_bins + 1))
+    for j in range(num_mel_bins):
+        lo, c, hi = (mel_low + (j + k) * mel_delta for k in (0, 1, 2))
+        for k in range(n_fft_bins):
+            m = mel(sample_rate / padded * k)
+            if lo < m < hi:
+                weights[j, k] = (m - lo) / (c - lo) if m <= c else (hi - m) / (hi - c)
+
+    out = np.zeros((num_frames, num_mel_bins))
+    n = np.arange(padded)
+    for t in range(num_frames):
+        fr = x[t * shift : t * shift + frame_len].astype(np.float64).copy()
+        fr -= fr.sum() / frame_len                      # remove_dc_offset
+        pre = np.empty_like(fr)                         # Kaldi preemphasis
+        pre[0] = fr[0] - preemphasis * fr[0]
+        pre[1:] = fr[1:] - preemphasis * fr[:-1]
+        for i in range(frame_len):                      # hanning window
+            pre[i] *= 0.5 - 0.5 * math.cos(2 * math.pi * i / (frame_len - 1))
+        buf = np.zeros(padded)
+        buf[:frame_len] = pre
+        for k in range(n_fft_bins + 1):                 # explicit DFT sums
+            re = float(buf @ np.cos(2 * math.pi * k * n / padded))
+            im = float(-buf @ np.sin(2 * math.pi * k * n / padded))
+            p = re * re + im * im
+            out[t] += weights[:, k] * p
+    return np.log(np.maximum(out, eps))
+
+
+def test_matches_direct_spec_oracle(rng):
+    """The vectorized implementation must match the literal per-frame
+    Kaldi-spec evaluation (dedicated oracle path: python loops + explicit
+    DFT sums) - de-correlates the same-author test from the
+    implementation's own vectorization choices."""
+    x = (rng.randn(32 * 640 + 2048) * 0.1).astype(np.float32)  # 65 frames
+    got = kaldi_fbank(x)
+    want = _kaldi_fbank_direct(np.asarray(x, np.float64))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3)
