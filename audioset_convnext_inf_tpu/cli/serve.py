@@ -52,6 +52,11 @@ def main(argv=None) -> int:
                              "devices (engine/service.py::ShardedModel); "
                              "single-chip serving doesn't need this")
     args = parser.parse_args(argv)
+    if args.mesh and args.bundle:
+        # pure argument validation, before any bundle deserialization
+        parser.error("--mesh shards the live model; AOT bundles are "
+                     "compiled for one device (export per-device bundles "
+                     "instead)")
 
     from audioset_convnext_inf_tpu.utils.cache import enable_compilation_cache
 
@@ -84,14 +89,23 @@ def main(argv=None) -> int:
         print("WARNING: no checkpoint given - serving random weights")
 
     if args.mesh:
-        if args.bundle:
-            parser.error("--mesh shards the live model; AOT bundles are "
-                         "compiled for one device (export per-device "
-                         "bundles instead)")
         from audioset_convnext_inf_tpu.engine.service import ShardedModel
 
         model = ShardedModel(model)
-        print(f"mesh serving over {model.mesh.size} devices")
+        n_dev = model.mesh.size
+        # the fused Pallas serving kernels gate on the PER-DEVICE batch
+        # being a multiple of 16 (models/convnext.py); shard_map sees
+        # batch_size/n_dev rows per device, so round the service batch up
+        # to 16*n_dev or multi-chip serving silently runs the slower
+        # unfused XLA trunk
+        quantum = 16 * n_dev
+        if args.batch_size % quantum:
+            new_bs = -(-args.batch_size // quantum) * quantum
+            print(f"--mesh: raising batch-size {args.batch_size} -> {new_bs} "
+                  f"(fused kernels need per-device batch % 16 == 0 over "
+                  f"{n_dev} devices)")
+            args.batch_size = new_bs
+        print(f"mesh serving over {n_dev} devices")
     service = InferenceService(model, batch_size=args.batch_size,
                                max_wait_ms=args.max_wait_ms,
                                pcm_int16=True).start()

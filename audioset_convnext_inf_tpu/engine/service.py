@@ -51,7 +51,11 @@ class ShardedModel:
     Drop-in for :class:`InferenceService`'s ``model`` (same dict outputs,
     ``forward_scene_embeddings`` for the /embed endpoint). Batches whose
     length doesn't divide the mesh are zero-padded and trimmed, so any
-    ``batch_size`` works, but a multiple of ``mesh.size`` avoids waste.
+    ``batch_size`` works - but the fused Pallas serving kernels gate on
+    the PER-DEVICE batch being a multiple of 16, so a service in the
+    certified fast configuration needs ``batch_size % (16 * mesh.size)
+    == 0`` (cli/serve.py --mesh rounds up automatically); anything
+    smaller still runs correctly through the unfused XLA trunk.
     """
 
     def __init__(self, model, mesh=None):

@@ -166,7 +166,9 @@ def sinc_resample_kernel(
         f_c = rolloff * min(orig, new),  |f_c * t| <= W,
         scale = f_c / orig_freq
 
-    Returns (kernels (new_freq, 2*width + orig_freq) float64, width).
+    Returns (kernels (new_freq, 2*width + orig_freq) float32, width);
+    built in f64, stored f32 (torchaudio's serving dtype - the bank is the
+    memory cost, see resample_linear), and cached per rate pair.
     """
     import math
 
@@ -184,7 +186,12 @@ def sinc_resample_kernel(
     t *= np.pi
     kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
     kernels *= window * (base_freq / orig_freq)
-    return kernels, width
+    return kernels.astype(np.float32), width
+
+
+from functools import lru_cache as _lru_cache
+
+sinc_resample_kernel = _lru_cache(maxsize=32)(sinc_resample_kernel)
 
 
 def resample_linear(
@@ -193,6 +200,7 @@ def resample_linear(
     sample_rate: int = 32000,
     lowpass_filter_width: int = 6,
     rolloff: float = 0.99,
+    quantize_hz: "int | None" = None,
 ):
     """The reference Resample class's "linear" mode (augmentations.py:
     244-258): resample from ``sample_rate`` to ``int(sample_rate * rate)``
@@ -204,6 +212,14 @@ def resample_linear(
     before batching; the hot loop is ONE GEMM - the padded signal framed at
     stride orig_freq against the (new_freq, taps) kernel bank - so BLAS,
     not Python, does the work). Trailing-axis only, 1-D or batched 2-D.
+
+    Memory note: the kernel bank is (new/g, 2*width + orig/g) where
+    g = gcd(orig, new). A continuously sampled rate makes new_freq nearly
+    coprime with 32000 (the reference's torchaudio call pays the same
+    cost), blowing the bank to ~GB scale. ``quantize_hz`` rounds the
+    target rate to the nearest multiple (e.g. 100 -> bank <= ~2 MB, rate
+    error <= 50/32000 = 0.16%) - the right setting for random-rate
+    augmentation loops; None keeps exact reference semantics.
     """
     import math
 
@@ -212,6 +228,8 @@ def resample_linear(
     x = np.asarray(x)
     orig_freq = int(sample_rate)
     new_freq = int(sample_rate * rate)
+    if quantize_hz:
+        new_freq = max(quantize_hz, int(round(new_freq / quantize_hz)) * quantize_hz)
     if new_freq <= 0:
         raise ValueError(f"rate {rate} yields non-positive target rate")
     g = math.gcd(orig_freq, new_freq)
@@ -257,7 +275,8 @@ def resample(
         idx = np.round(np.arange(0, length, 1.0 / rate)).astype(np.int64)
         return np.take(x, np.minimum(idx, length - 1), axis=-1)
     if interpolation == "linear":
-        return resample_linear(x, rate, sample_rate)
+        return resample_linear(x, rate, sample_rate)  # exact; pass
+        # quantize_hz via resample_linear directly for random-rate loops
     raise ValueError(
         f"invalid interpolation {interpolation!r}; must be one of "
         f"('nearest', 'linear')")

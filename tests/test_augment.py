@@ -191,3 +191,20 @@ def test_resample_dispatcher():
     np.testing.assert_array_equal(resample(x, 0.8, "linear"), resample_linear(x, 0.8))
     with pytest.raises(ValueError):
         resample(x, 0.8, "cubic")
+
+
+def test_resample_linear_quantize_hz_bounds_kernel():
+    """A near-coprime rate (continuous U(rates) sampling) would build a
+    ~GB float bank; quantize_hz bounds it to ~MB at <=0.16% rate error."""
+    from audioset_convnext_inf_tpu.ops.augment import (
+        resample_linear,
+        sinc_resample_kernel,
+    )
+
+    x = np.random.RandomState(3).randn(4000).astype(np.float32)
+    out = resample_linear(x, 0.73715, quantize_hz=100)
+    # quantized target: round(32000*0.73715/100)*100 = 23600 -> exact path
+    ref = resample_linear(x, 23600 / 32000.0)
+    np.testing.assert_array_equal(out, ref)
+    k, _ = sinc_resample_kernel(32000 // 400, 23600 // 400)  # gcd=400
+    assert k.nbytes < 2**21  # the quantized bank stays under 2 MB
