@@ -288,6 +288,14 @@ def decode_flac_bytes(buf: bytes, mono: bool = True):
         return None
     if info.frames <= 0:  # STREAMINFO total unknown: refuse rather than guess
         return None
+    # Bound the output allocation by what the stream could possibly encode:
+    # STREAMINFO's total-sample field is 36 bits and attacker-controlled, and
+    # the densest legal coding (a CONSTANT subframe) spends >= ~12 bytes per
+    # <= 65536-sample frame, i.e. < 8192 samples/byte/channel. A header
+    # claiming more is unsatisfiable - refuse before np.empty reserves
+    # hundreds of GB of address space for a garbage stream.
+    if info.frames * max(int(info.channels), 1) > arr.size * 8192:
+        return None
     if mono:
         out = np.empty(info.frames, np.float32)
     else:
