@@ -37,6 +37,13 @@ def main() -> None:
                              "evaluation uses 'highest'")
     args = parser.parse_args()
 
+    import sys
+
+    def progress(msg: str) -> None:
+        # stderr + flush: stdout must stay ONE JSON line, but a relay stall
+        # must still leave a diagnostic tail (round-4 MULTICHIP lesson).
+        print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -49,6 +56,7 @@ def main() -> None:
     from audioset_convnext_inf_tpu.parallel.mesh import batch_sharding, get_mesh
 
     n_chips = len(jax.devices())
+    progress(f"devices: {n_chips}x {jax.devices()[0].platform}")
     mesh = get_mesh()
     sharding = batch_sharding(mesh)
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -88,14 +96,18 @@ def main() -> None:
     wav = jax.device_put((rng.randn(b, CLIP_SAMPLES) * 0.1).astype(np.float32), sharding)
 
     # warmup/compile + sync
+    progress(f"params+input on device; compiling step (B={b}, {args.dtype}, "
+             f"{block_impl}, frontend={fe_precision})...")
     wav = step(params, wav)
     _ = float(jnp.sum(wav))
+    progress(f"compile+warmup done; timing {args.iters} chained iters...")
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         wav = step(params, wav)
     _ = float(jnp.sum(wav))  # single scalar fetch closes the chain
     dt = (time.perf_counter() - t0) / args.iters
+    progress(f"timing done: {dt*1e3:.1f} ms/iter")
 
     clips_per_sec = b / dt
     per_chip = clips_per_sec / n_chips
