@@ -91,15 +91,19 @@ def main(argv=None) -> int:
     if args.mesh:
         from audioset_convnext_inf_tpu.engine.service import ShardedModel
 
+        fused_eligible = model.cfg.block_impl == "xla_approx"
         model = ShardedModel(model)
         n_dev = model.mesh.size
         # the fused Pallas serving kernels gate on the PER-DEVICE batch
         # being a multiple of 16 (models/convnext.py); shard_map sees
         # batch_size/n_dev rows per device, so round the service batch up
         # to 16*n_dev or multi-chip serving silently runs the slower
-        # unfused XLA trunk
+        # unfused XLA trunk. Only worth padded rows when the fused config
+        # is actually active ("xla_approx", the bf16 serving default) -
+        # the f32 "xla" trunk never fires the gate, so light-load requests
+        # would pay up-to-quantum padding for zero benefit.
         quantum = 16 * n_dev
-        if args.batch_size % quantum:
+        if fused_eligible and args.batch_size % quantum:
             new_bs = -(-args.batch_size // quantum) * quantum
             print(f"--mesh: raising batch-size {args.batch_size} -> {new_bs} "
                   f"(fused kernels need per-device batch % 16 == 0 over "

@@ -97,11 +97,11 @@ class ShardedModel:
     def _put(self, waveform):
         import jax
 
-        x = np.asarray(waveform)
-        pad = (-x.shape[0]) % self.mesh.size
-        if pad:
-            x = np.pad(x, ((0, pad), (0, 0)))
-        return jax.device_put(x, self._sharding), x.shape[0] - pad
+        from audioset_convnext_inf_tpu.parallel.mesh import pad_batch_to_multiple
+
+        batch, n = pad_batch_to_multiple(
+            {"waveform": np.asarray(waveform)}, self.mesh.size)
+        return jax.device_put(batch["waveform"], self._sharding), n
 
     def forward(self, waveform) -> Dict[str, np.ndarray]:
         x, n = self._put(waveform)

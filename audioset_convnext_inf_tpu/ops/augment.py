@@ -194,6 +194,19 @@ from functools import lru_cache as _lru_cache
 sinc_resample_kernel = _lru_cache(maxsize=32)(sinc_resample_kernel)
 
 
+def _cacheable_bank(orig_freq: int, new_freq: int,
+                    lowpass_filter_width: int, rolloff: float,
+                    max_elems: int = 2_000_000) -> bool:
+    """Whether the (gcd-reduced) kernel bank is small enough to pin in the
+    lru_cache: (new_freq, 2*width + orig_freq) float32 <= ~8 MB. Coprime
+    rate pairs (continuous random rates) blow past this by 500x."""
+    import math
+
+    base_freq = min(orig_freq, new_freq) * rolloff
+    width = math.ceil(lowpass_filter_width * orig_freq / base_freq)
+    return new_freq * (2 * width + orig_freq) <= max_elems
+
+
 def resample_linear(
     x,
     rate: float,
@@ -236,7 +249,17 @@ def resample_linear(
     orig_freq, new_freq = orig_freq // g, new_freq // g
     if orig_freq == new_freq:
         return x.astype(np.float32, copy=False)
-    kernels, width = sinc_resample_kernel(
+    # Cache only small banks (quantized/repeated rates). A continuously
+    # sampled rate is near-coprime with the source rate and its bank is
+    # ~GB scale; pinning up to 32 of those in the lru_cache would leak
+    # tens of GB of host RAM across a random-rate augmentation loop, so
+    # big banks build uncached and free after the call (as torchaudio
+    # does every call).
+    builder = (sinc_resample_kernel
+               if _cacheable_bank(orig_freq, new_freq, lowpass_filter_width,
+                                  rolloff)
+               else sinc_resample_kernel.__wrapped__)
+    kernels, width = builder(
         orig_freq, new_freq, lowpass_filter_width, rolloff)
     squeeze = x.ndim == 1
     xb = x.reshape(-1, x.shape[-1]).astype(np.float64)

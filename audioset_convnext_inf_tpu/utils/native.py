@@ -289,12 +289,17 @@ def decode_flac_bytes(buf: bytes, mono: bool = True):
     if info.frames <= 0:  # STREAMINFO total unknown: refuse rather than guess
         return None
     # Bound the output allocation by what the stream could possibly encode:
-    # STREAMINFO's total-sample field is 36 bits and attacker-controlled, and
-    # the densest legal coding (a CONSTANT subframe) spends >= ~12 bytes per
-    # <= 65536-sample frame, i.e. < 8192 samples/byte/channel. A header
-    # claiming more is unsatisfiable - refuse before np.empty reserves
-    # hundreds of GB of address space for a garbage stream.
-    if info.frames * max(int(info.channels), 1) > arr.size * 8192:
+    # STREAMINFO's total-sample field is 36 bits and attacker-controlled.
+    # The densest legal coding is a CONSTANT subframe per channel: >= ~10
+    # bytes of frame header/CRCs plus >= ~2 bytes per channel, per
+    # <= 65536-sample frame. The floor cost is per FRAME, not per sample
+    # value, so the limit must not shrink with channel count (stereo
+    # silence at blocksize 65535 legitimately packs >8192 sample-values
+    # per byte). Bound samples-PER-CHANNEL by the per-frame cost; refuse
+    # unsatisfiable headers before np.empty reserves hundreds of GB of
+    # address space for a garbage stream.
+    min_frame_bytes = 10 + 2 * max(int(info.channels), 1)
+    if info.frames > (arr.size // min_frame_bytes + 1) * 65536:
         return None
     if mono:
         out = np.empty(info.frames, np.float32)

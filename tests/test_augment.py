@@ -208,3 +208,30 @@ def test_resample_linear_quantize_hz_bounds_kernel():
     np.testing.assert_array_equal(out, ref)
     k, _ = sinc_resample_kernel(32000 // 400, 23600 // 400)  # gcd=400
     assert k.nbytes < 2**21  # the quantized bank stays under 2 MB
+
+
+def test_resample_linear_big_banks_bypass_cache():
+    """Unquantized near-coprime rates (continuous U(rates) sampling, the
+    reference default) build ~GB kernel banks; those must NOT be pinned in
+    the lru_cache (32 of them would leak tens of GB of host RAM), while
+    quantized/repeated small banks still cache."""
+    from audioset_convnext_inf_tpu.ops.augment import (
+        _cacheable_bank,
+        sinc_resample_kernel,
+    )
+
+    # coprime with 32000 (continuous rate draw): ~3 GB bank -> uncached
+    assert not _cacheable_bank(32000, 23587, 6, 0.99)
+    assert not _cacheable_bank(32000, 32063, 6, 0.99)
+    # quantize_hz=100-style reduced pairs: ~KB..MB banks -> cached
+    assert _cacheable_bank(80, 59, 6, 0.99)        # gcd-reduced 32000/23600
+    assert _cacheable_bank(320, 127, 6, 0.99)
+    # dispatch wiring: a small-bank call actually goes through the cache
+    # (second identical call is a hit; earlier tests may have primed it)
+    from audioset_convnext_inf_tpu.ops.augment import resample_linear
+
+    x = np.zeros(1000, np.float32)
+    resample_linear(x, 0.5)  # reduced pair (2, 1): tiny cached bank
+    hits_before = sinc_resample_kernel.cache_info().hits
+    resample_linear(x, 0.5)
+    assert sinc_resample_kernel.cache_info().hits == hits_before + 1

@@ -195,3 +195,22 @@ def test_pack_flow_reads_flac(tmp_path):
         np.testing.assert_allclose(w0[:64000] / 32767.0,
                                    waves[0] / 32768.0, atol=2e-4)
         assert (w0[64000:] == 0).all()
+
+
+def test_dense_multichannel_silence_not_refused_by_alloc_bound():
+    """The allocation bound must not scale down with channel count:
+    8-channel silence at blocksize 65535 (CONSTANT subframes) legitimately
+    packs >8192 sample-values per stream byte - the per-frame cost floor
+    is per FRAME plus ~2 bytes per channel, so samples-PER-CHANNEL is what
+    the bound limits (utils/native.py::decode_flac_bytes)."""
+    n = 2 * 65535
+    x = np.zeros((n, 8), np.int64)
+    buf = encode_flac(x, 32000, bps=16, blocksize=65535, kind="constant")
+    # sanity: this valid stream is denser than the buggy 8192 values/byte
+    # limit (110 bytes for ~1M sample values), so the old per-value bound
+    # rejected it
+    assert n * 8 > len(buf) * 8192
+    y, sr = _decode(buf, mono=False)
+    assert sr == 32000
+    assert y.shape == (n, 8)
+    assert not y.any()

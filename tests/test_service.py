@@ -308,7 +308,11 @@ def test_mesh_sharded_service_matches_single_device(monkeypatch):
         got = np.stack([f.result(timeout=120)["clipwise_output"] for f in futs])
     want = np.asarray(model.forward(clips)["clipwise_output"])
     np.testing.assert_allclose(got, want, atol=1e-5)
-    assert svc.stats["requests"] == 24 and svc.stats["batches"] <= 4
+    # correctness + accounting only: the exact batch count is timing-
+    # dependent (the worker closes a partial batch whenever max_wait_ms
+    # elapses, so a descheduled submitter on a loaded box yields more,
+    # smaller batches - still correct service behavior)
+    assert svc.stats["requests"] == 24 and svc.stats["batches"] >= 2
 
     # int16 PCM rides the on-device decode through the sharded path too
     i16 = np.clip(np.round(clips[0] * 32767), -32768, 32767).astype(np.int16)
