@@ -25,8 +25,7 @@ would silently produce wrong features); the remaining buffers are dropped.
 
 from __future__ import annotations
 
-import re
-from typing import Any, Dict, Iterable, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np

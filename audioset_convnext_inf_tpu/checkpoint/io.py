@@ -64,7 +64,17 @@ def _resolve_checkpoint_path(path_or_id: str) -> str:
     """
     if os.path.exists(path_or_id):
         return path_or_id
-    if not path_or_id.startswith(("http://", "https://")) and (
+    # A HuggingFace id is "namespace/name" (optionally "@revision"): exactly
+    # one slash, no checkpoint extension, not an explicit filesystem path.
+    # Anything else containing a separator or ending in a checkpoint
+    # extension is a missing local path - fail fast rather than asking the
+    # hub for it.
+    looks_like_hf_id = (
+        path_or_id.count("/") == 1
+        and not path_or_id.endswith((".pth", ".safetensors"))
+        and not path_or_id.startswith((".", "/", "~"))
+    )
+    if not path_or_id.startswith(("http://", "https://")) and not looks_like_hf_id and (
         os.sep in path_or_id or path_or_id.endswith((".pth", ".safetensors"))
     ):
         raise FileNotFoundError(
@@ -83,7 +93,12 @@ def _resolve_checkpoint_path(path_or_id: str) -> str:
         fname = os.path.basename(path_or_id).replace("?download=1", "")
         dst = os.path.join(cache, fname)
         if not os.path.exists(dst):
-            urllib.request.urlretrieve(path_or_id, dst)
+            # download to a temp name + atomic rename: an interrupted
+            # transfer must not leave a truncated file that every later
+            # call trusts (save_checkpoint uses the same pattern)
+            tmp = dst + ".part"
+            urllib.request.urlretrieve(path_or_id, tmp)
+            os.replace(tmp, dst)
         return dst
     # HuggingFace model id, optionally with @revision
     from huggingface_hub import hf_hub_download

@@ -89,13 +89,9 @@ def _rewrite_path(cfg: PannConfig, key: str, block_rank=None) -> List:
         if got:
             return got
         return parts
-    if fam in ("res1dnet",):
+    if fam in ("res1dnet", "resnet"):
         if parts[0] == "resnet":
-            return _resnet_path(parts, bn_at=2)
-        return parts
-    if fam == "resnet":
-        if parts[0] == "resnet":
-            return _resnet_path(parts, bn_at=2)
+            return _resnet_path(parts)
         return parts
     if fam == "mobilenet_v1":
         if parts[0] == "features":
@@ -157,7 +153,7 @@ def _mbv2_meta():
     return _mbv2_block_meta()
 
 
-def _resnet_path(parts: List[str], bn_at: int) -> List:
+def _resnet_path(parts: List[str]) -> List:
     """resnet.layerL.B.xxx -> resnet.stages[L-1][B].xxx with downsample
     Sequential indices resolved (conv vs bn by position)."""
     m = re.match(r"layer(\d+)$", parts[1])
@@ -165,12 +161,9 @@ def _resnet_path(parts: List[str], bn_at: int) -> List:
     block = int(parts[2])
     rest = parts[3:]
     if rest and rest[0] == "downsample":
-        # stride-1 downsample: [conv(0), bn(1)]; stride-2: [pool(0), conv(1), bn(2)]
+        # stride-1 downsample (stage 0): [conv(0), bn(1)]; stride-2
+        # (stages 1-3): [pool(0), conv(1), bn(2)] (reference _make_layer)
         idx = int(rest[1])
-        name = "conv" if idx in (0, 1) and idx != 2 else "bn"
-        # disambiguate: idx 0 with a following bn at 1 => conv; idx 1 could be
-        # conv (3-layer) or bn (2-layer). Resolve by stage: stage 0 uses the
-        # 2-layer form, stages 1-3 the 3-layer form (reference _make_layer).
         if stage == 0:
             name = {0: "conv", 1: "bn"}[idx]
         else:

@@ -11,6 +11,11 @@
     # split the unbalanced csv into 50k-row parts
     python -m audioset_convnext_inf_tpu.cli.pack_dataset split \
         --csv unbalanced_train_segments.csv --out-dir parts/
+
+    # build a training blacklist of YouTube ids from DCASE2017-task4
+    # segment CSVs (reference utils/create_black_list.py)
+    python -m audioset_convnext_inf_tpu.cli.pack_dataset blacklist \
+        --csvs testing_set.csv evaluation_set.csv --out black_list.csv
 """
 
 from __future__ import annotations
@@ -41,6 +46,13 @@ def main(argv=None) -> int:
     p.add_argument("--csv", required=True)
     p.add_argument("--out-dir", required=True)
 
+    p = sub.add_parser("blacklist")
+    p.add_argument("--csvs", nargs="+", required=True,
+                   help="DCASE2017-task4 style segment CSVs (first column "
+                        "is a segment filename; the bare YouTube id is "
+                        "extracted)")
+    p.add_argument("--out", required=True)
+
     args = parser.parse_args(argv)
 
     from audioset_convnext_inf_tpu.data import (
@@ -57,6 +69,13 @@ def main(argv=None) -> int:
         out = create_indexes(args.waveforms, args.out)
     elif args.cmd == "combine":
         out = combine_indexes(args.indexes, args.out)
+    elif args.cmd == "blacklist":
+        from audioset_convnext_inf_tpu.data.blacklist import (
+            dcase2017_task4_ids,
+            write_black_list,
+        )
+
+        out = write_black_list(dcase2017_task4_ids(args.csvs), args.out)
     else:
         out = split_unbalanced_csv_to_partial_csvs(args.csv, args.out_dir)
     print(out)

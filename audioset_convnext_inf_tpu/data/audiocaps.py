@@ -30,7 +30,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
-from audioset_convnext_inf_tpu.data.audio_io import read_wav
+from audioset_convnext_inf_tpu.data.audio_io import read_audio
 from audioset_convnext_inf_tpu.labels import read_audioset_label_tags
 
 
@@ -233,7 +233,9 @@ class AudioCaps:
     CAPTIONS_PER_AUDIO = {"train": 1, "val": 5, "test": 5}
     SAMPLE_RATE = 32000
     SUBSETS = ("train", "val", "test")
-    AUDIO_FILE_EXTENSION = "wav"
+    # the on-disk layout prepare_audiocaps_subset writes and the reference
+    # uses (audiocaps.py:81): {youtube_id}_{start_seconds}.flac
+    AUDIO_FILE_EXTENSION = "flac"
 
     def __init__(
         self,
@@ -243,6 +245,7 @@ class AudioCaps:
         with_tags: bool = False,
         transform: Optional[Callable] = None,
         flat_captions: bool = False,
+        exclude_removed_audio: bool = True,
         verbose: int = 0,
     ) -> None:
         if subset not in self.SUBSETS:
@@ -264,6 +267,7 @@ class AudioCaps:
         self.__with_tags = with_tags
         self.__transform = transform
         self.__flat_captions = flat_captions
+        self.__exclude_removed_audio = exclude_removed_audio
         self.__verbose = verbose
         self.__all_items: Dict[str, List[Any]] = {}
         self.__loaded = False
@@ -309,7 +313,7 @@ class AudioCaps:
             if isinstance(idx, slice):
                 return [self.at(i, column) for i in range(*idx.indices(len(self)))]
             fpath = osp.join(self.__dpath_audio_subset, self.__all_items["fname"][idx])
-            audio, sr = read_wav(fpath, target_sr=None)
+            audio, sr = read_audio(fpath, target_sr=None)
             if sr != self.SAMPLE_RATE:
                 raise RuntimeError(
                     f"Invalid sample rate in {fpath} (expected {self.SAMPLE_RATE}, found {sr})"
@@ -368,10 +372,20 @@ class AudioCaps:
             "index": [], "fname": [], "youtube_id": [], "start_time": [],
             "captions": [], "audiocap_ids": [], "tags": [], "is_on_disk": [],
         }
-        for i, key in enumerate(order):
+        i = 0
+        for key in order:
             g = grouped[key]
-            fname = f"{g['youtube_id']}_{int(float(g['start_time']) * 1000)}.{self.AUDIO_FILE_EXTENSION}"
+            # {youtube_id}_{start_seconds}.flac - the layout
+            # prepare_audiocaps_subset writes and the reference reads
+            # (audiocaps.py:397: raw integer seconds, no ms conversion)
+            fname = (f"{g['youtube_id']}_{int(float(g['start_time']))}"
+                     f".{self.AUDIO_FILE_EXTENSION}")
             on_disk = osp.exists(osp.join(self.__dpath_audio_subset, fname))
+            if self.__exclude_removed_audio and not on_disk:
+                # ~7% of AudioCaps is no longer downloadable; the reference
+                # default drops clips missing on disk (audiocaps.py:396-408)
+                # so full-dataset passes don't crash on the first gap
+                continue
             items["index"].append(i)
             items["fname"].append(fname)
             items["youtube_id"].append(g["youtube_id"])
@@ -380,6 +394,7 @@ class AudioCaps:
             items["audiocap_ids"].append(g["audiocap_ids"])
             items["tags"].append(tags_map.get(g["youtube_id"], []))
             items["is_on_disk"].append(on_disk)
+            i += 1
 
         if self.__flat_captions and self.CAPTIONS_PER_AUDIO[self.__subset] > 1:
             flat: Dict[str, List[Any]] = {k: [] for k in items}

@@ -13,7 +13,13 @@ from typing import List
 
 def dcase2017_task4_ids(csv_paths: List[str]) -> List[str]:
     """Collect unique YouTube ids from DCASE2017 task4 testing/evaluation
-    set CSVs (tab- or comma-separated, id in the first column)."""
+    set CSVs (tab- or comma-separated, id in the first column).
+
+    The first column is a segment filename like
+    ``-5QrBL6MzLg_60.000_70.000.wav``; the blacklist stores the bare
+    11-character YouTube id (reference create_black_list.py:37 takes
+    ``line[0][0:11]``) so samplers can match it against any audio-name
+    convention."""
     ids = []
     seen = set()
     for path in csv_paths:
@@ -22,8 +28,8 @@ def dcase2017_task4_ids(csv_paths: List[str]) -> List[str]:
                 line = line.strip()
                 if not line:
                     continue
-                first = line.replace("\t", ",").split(",")[0]
-                if first not in seen:
+                first = line.replace("\t", ",").split(",")[0][0:11]
+                if first and first not in seen:
                     seen.add(first)
                     ids.append(first)
     return ids

@@ -9,6 +9,7 @@ environment; packing starts from on-disk audio files.
 from __future__ import annotations
 
 import os
+import re
 from typing import Dict, List, Optional
 
 import h5py
@@ -86,15 +87,20 @@ def pack_waveforms_to_hdf5(
 
     os.makedirs(os.path.dirname(os.path.abspath(waveforms_hdf5_path)), exist_ok=True)
     n = len(audio_names)
+    # stored audio_name strips the "_<start>_<end>.<ext>" segment suffix to
+    # the bare YouTube id, S20 - the reference schema (dataset.py:194,232:
+    # re.sub(r'_\d+_\d+.flac$', '', name) into an S20 dataset), which
+    # samplers/blacklists and eval exports key on
+    strip = re.compile(r"_\d+_\d+" + re.escape(audio_ext) + "$")
     with h5py.File(waveforms_hdf5_path, "w") as hf:
-        hf.create_dataset("audio_name", shape=(n,), dtype="S40")
+        hf.create_dataset("audio_name", shape=(n,), dtype="S20")
         hf.create_dataset("waveform", shape=(n, clip_samples), dtype=np.int16)
         hf.create_dataset("target", shape=(n, targets.shape[1]), dtype=bool)
         hf.attrs.create("sample_rate", data=sample_rate, dtype=np.int32)
         for i, name in enumerate(audio_names):
             audio, _ = read_audio(os.path.join(audios_dir, name), target_sr=sample_rate)
             audio = pad_or_truncate(audio, clip_samples)
-            hf["audio_name"][i] = name.encode()
+            hf["audio_name"][i] = strip.sub("", name).encode()
             hf["waveform"][i] = float32_to_int16(audio)
             hf["target"][i] = targets[i]
     return waveforms_hdf5_path

@@ -62,9 +62,20 @@ class _Base:
         self.audios_num, self.classes_num = self.targets.shape
 
     def _blacklisted(self, index: int) -> bool:
-        # reference strips the trailing "_<start>_<end>" suffix chars
-        # (data_generator.py:209): audio_name[:-9]
-        return self.audio_names[index][:-9] in self.black_list_names
+        # The blacklist holds bare 11-char YouTube ids (blacklist.py, as the
+        # reference's create_black_list.py emits). Extract the id from
+        # whatever audio-name convention the index file uses: PANN-style
+        # "Y<ytid>.wav" (16 chars), bare "<ytid>" (reference pack, S20
+        # motif-stripped), or this repo's "<ytid>_<start>_<end>.<ext>" -
+        # the reference's own `audio_name[:-9]` comparison
+        # (data_generator.py:209) silently matches none of these; matching
+        # the id is the behavior the blacklist exists for.
+        name = self.audio_names[index]
+        if len(name) == 16 and name[0] == "Y" and name.endswith(".wav"):
+            ytid = name[1:12]
+        else:
+            ytid = name[:11]
+        return ytid in self.black_list_names
 
     def _meta(self, index: int) -> dict:
         return {
@@ -78,8 +89,10 @@ class TrainSampler(_Base):
 
     def __init__(self, indexes_hdf5_path, batch_size, black_list_csv=None, random_seed=1234):
         super().__init__(indexes_hdf5_path, batch_size, black_list_csv, random_seed)
-        self.indexes = np.arange(self.audios_num)
-        self.random_state.shuffle(self.indexes)
+        # epoch permutations are REPLACED, never mutated in place
+        # (np.random.permutation = shuffle on a copy, identical RNG stream),
+        # so state_dict can share the array with snapshots copy-free
+        self.indexes = self.random_state.permutation(self.audios_num)
         self.pointer = 0
 
     def _next_index(self) -> int:
@@ -87,7 +100,7 @@ class TrainSampler(_Base):
         self.pointer += 1
         if self.pointer >= self.audios_num:
             self.pointer = 0
-            self.random_state.shuffle(self.indexes)
+            self.indexes = self.random_state.permutation(self.indexes)
         return index
 
     def __iter__(self) -> Iterator[List[dict]]:
@@ -101,12 +114,14 @@ class TrainSampler(_Base):
             yield batch_meta
 
     def state_dict(self) -> dict:
-        # copies, not views: the in-place epoch reshuffle must not mutate a
-        # captured state (the reference aliases here and relies on pickling).
-        # The RNG state makes resume exact across the epoch-wrap reshuffle -
-        # the reference omits it (data_generator.py:216-228) and silently
+        # the permutation array is shared, not copied: epoch wraps REPLACE
+        # self.indexes (never mutate it), so a captured snapshot stays
+        # valid - state_dict is called per batch by the prefetching loader
+        # and a full-AudioSet copy here would cost ~16 MB/batch. The RNG
+        # state makes resume exact across the epoch-wrap reshuffle - the
+        # reference omits it (data_generator.py:216-228) and silently
         # reshuffles differently after resume.
-        return {"indexes": self.indexes.copy(), "pointer": self.pointer,
+        return {"indexes": self.indexes, "pointer": self.pointer,
                 "rng": _rng_state(self.random_state)}
 
     def load_state_dict(self, state: dict) -> None:
@@ -121,11 +136,13 @@ class BalancedTrainSampler(_Base):
     def __init__(self, indexes_hdf5_path, batch_size, black_list_csv=None, random_seed=1234):
         super().__init__(indexes_hdf5_path, batch_size, black_list_csv, random_seed)
         self.samples_num_per_class = np.sum(self.targets, axis=0)
+        # per-class permutations are REPLACED on wrap, never mutated in
+        # place (permutation = shuffle on a copy, identical RNG stream), so
+        # state_dict can share them with snapshots copy-free
         self.indexes_per_class = [
-            np.where(self.targets[:, k] == 1)[0] for k in range(self.classes_num)
+            self.random_state.permutation(np.where(self.targets[:, k] == 1)[0])
+            for k in range(self.classes_num)
         ]
-        for k in range(self.classes_num):
-            self.random_state.shuffle(self.indexes_per_class[k])
         self.queue: List[int] = []
         self.pointers_of_classes = [0] * self.classes_num
 
@@ -148,7 +165,8 @@ class BalancedTrainSampler(_Base):
         index = self.indexes_per_class[class_id][pointer]
         if self.pointers_of_classes[class_id] >= self.samples_num_per_class[class_id]:
             self.pointers_of_classes[class_id] = 0
-            self.random_state.shuffle(self.indexes_per_class[class_id])
+            self.indexes_per_class[class_id] = self.random_state.permutation(
+                self.indexes_per_class[class_id])
         return index
 
     def __iter__(self) -> Iterator[List[dict]]:
@@ -162,11 +180,15 @@ class BalancedTrainSampler(_Base):
             yield batch_meta
 
     def state_dict(self) -> dict:
-        # includes the RNG state (queue refills + per-class reshuffles draw
-        # from it) so resume reproduces the exact batch stream; the
-        # reference omits it (data_generator.py:317-331)
+        # per-class arrays are shared (wraps replace them, never mutate -
+        # copying all 527 on full AudioSet is ~40 MB, and the prefetching
+        # loader calls this once per batch); the list itself and the small
+        # queue/pointer lists are copied. Includes the RNG state (queue
+        # refills + per-class reshuffles draw from it) so resume reproduces
+        # the exact batch stream; the reference omits it
+        # (data_generator.py:317-331)
         return {
-            "indexes_per_class": [a.copy() for a in self.indexes_per_class],
+            "indexes_per_class": list(self.indexes_per_class),
             "queue": list(self.queue),
             "pointers_of_classes": list(self.pointers_of_classes),
             "rng": _rng_state(self.random_state),

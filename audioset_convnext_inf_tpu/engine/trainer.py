@@ -377,9 +377,11 @@ class Trainer:
             # `batch` was already drawn from the (prefetching) loader, so a
             # checkpoint taken HERE must carry the sampler snapshot of the
             # previous batch - on resume the loader regenerates this one
-            if it % eval_interval == 0 and eval_fn is not None and it > 0:
+            # interval 0 (or None fn) disables the hook entirely
+            if eval_interval and it % eval_interval == 0 and eval_fn is not None and it > 0:
                 eval_fn(self.state.params, it)
-            if it % checkpoint_interval == 0 and checkpoint_fn is not None and it > 0:
+            if checkpoint_interval and it % checkpoint_interval == 0 \
+                    and checkpoint_fn is not None and it > 0:
                 checkpoint_fn(self, it)
             for attempt in range(max_step_retries + 1):
                 try:

@@ -10,7 +10,9 @@ from audioset_convnext_inf_tpu.data.audiocaps import AudioCaps, BasicCollate, ta
 
 @pytest.fixture(scope="module")
 def audiocaps_root(tmp_path_factory):
-    from scipy.io import wavfile
+    # the real on-disk layout prepare_audiocaps_subset builds (and the
+    # reference reads): audio/<subset>/{youtube_id}_{start_seconds}.flac
+    from tests.flac_encoder import encode_flac
 
     root = tmp_path_factory.mktemp("ac_root")
     data = root / "AUDIOCAPS_32000Hz"
@@ -26,8 +28,12 @@ def audiocaps_root(tmp_path_factory):
                 lines.append(f"{i * 10 + c},{ytid},{start},a caption number {c}\n")
             # variable lengths to exercise pad-to-longest collate
             n = 16000 + 1000 * i
-            wavfile.write(str(audio_dir / f"{ytid}_{start * 1000}.wav"), 32000,
-                          (rng.randn(n) * 2000).astype(np.int16))
+            (audio_dir / f"{ytid}_{start}.flac").write_bytes(
+                encode_flac((rng.randn(n) * 2000).astype(np.int64), 32000))
+        # a 5th clip listed in the CSV but NOT on disk (the reference's
+        # exclude_removed_audio case: ~7% of AudioCaps is undownloadable)
+        lines.extend(f"{90 + c},ytmissing00,10,a caption number {c}\n"
+                     for c in range(caps_per))
         (data / f"{subset}.csv").write_text("".join(lines))
         tag_lines = ["youtube_id,mids\n"] + [
             f"yt{subset}{i:04d},/m/09x0r;/m/05zppz\n" for i in range(4)
@@ -39,12 +45,24 @@ def audiocaps_root(tmp_path_factory):
 def test_audiocaps_loads_and_groups_captions(audiocaps_root):
     train = AudioCaps(root=audiocaps_root, subset="train", with_tags=True)
     val = AudioCaps(root=audiocaps_root, subset="val", with_tags=True)
+    # the CSV lists 5 clips but one is not on disk; the default
+    # exclude_removed_audio=True drops it (reference audiocaps.py:396-408)
     assert len(train) == 4 and len(val) == 4
     assert len(val.at(0, "captions")) == 5
     assert train.at(0, "tags") == [0, 1]  # Speech, Male speech
     item = train[0]
     assert item["audio"].ndim == 1 and len(item["audio"]) == 16000
     assert item["tags"] == [0, 1]
+
+
+def test_audiocaps_exclude_removed_audio_off_keeps_missing(audiocaps_root):
+    ds = AudioCaps(root=audiocaps_root, subset="train", with_tags=True,
+                   exclude_removed_audio=False)
+    assert len(ds) == 5
+    assert ds.at(4, "youtube_id") == "ytmissing00"
+    assert ds.at(4, "is_on_disk") is False
+    with pytest.raises(FileNotFoundError):
+        ds.at(4, "audio")
 
 
 def test_audiocaps_columnar_access(audiocaps_root):
@@ -155,10 +173,20 @@ def test_transfer_trainer_fit_epochs_and_history(audiocaps_root):
     ]
 
 
-def test_prepare_audiocaps_subset_with_mock_runners(audiocaps_root, tmp_path):
+def test_prepare_audiocaps_subset_with_mock_runners(tmp_path):
     """The download pipeline walks the captions CSV and issues the right
-    command pairs; runners are injected (no network in this environment)."""
+    command pairs; runners are injected (no network in this environment).
+    Uses its own root (not the shared fixture) because the fake downloads
+    mutate the audio directory."""
     from audioset_convnext_inf_tpu.data.audiocaps import prepare_audiocaps_subset
+
+    prep_root = tmp_path / "prep_root"
+    data = prep_root / "AUDIOCAPS_32000Hz"
+    data.mkdir(parents=True)
+    lines = ["audiocap_id,youtube_id,start_time,caption\n"] + [
+        f"{i},yttrain{i:04d},10,a caption\n" for i in range(4)
+    ]
+    (data / "train.csv").write_text("".join(lines))
 
     issued = {"url": [], "extract": []}
 
@@ -172,7 +200,7 @@ def test_prepare_audiocaps_subset_with_mock_runners(audiocaps_root, tmp_path):
         return 0
 
     counts = prepare_audiocaps_subset(
-        audiocaps_root, "train", run_output=fake_output, run_call=fake_call
+        str(prep_root), "train", run_output=fake_output, run_call=fake_call
     )
     assert counts == {"ok": 4, "err": 0, "skipped": 0}
     assert len(issued["url"]) == 4 and len(issued["extract"]) == 4
@@ -181,7 +209,7 @@ def test_prepare_audiocaps_subset_with_mock_runners(audiocaps_root, tmp_path):
     # second run: everything already on disk (the fake downloads are empty
     # files, so accept them explicitly for the skip assertion)
     counts2 = prepare_audiocaps_subset(
-        audiocaps_root, "train", run_output=fake_output, run_call=fake_call,
+        str(prep_root), "train", run_output=fake_output, run_call=fake_call,
         validate_cache=lambda p: True,
     )
     assert counts2 == {"ok": 0, "err": 0, "skipped": 4}
@@ -189,7 +217,7 @@ def test_prepare_audiocaps_subset_with_mock_runners(audiocaps_root, tmp_path):
     # detected as corrupt, removed, and re-downloaded (reference
     # __check_file semantics - the cache self-repairs)
     counts3 = prepare_audiocaps_subset(
-        audiocaps_root, "train", run_output=fake_output, run_call=fake_call
+        str(prep_root), "train", run_output=fake_output, run_call=fake_call
     )
     assert counts3["ok"] == 4 and counts3["skipped"] == 0
     # missing captions CSV raises with the official URL

@@ -99,8 +99,10 @@ def test_train_cli_two_steps(tmp_path):
         "--batch-size", "8",
         "--sampler", "uniform",
         "--early-stop", "2",
-        "--eval-interval", "1000000",
-        "--checkpoint-interval", "1000000",
+        # 0 = disabled (regression: this used to ZeroDivisionError in the
+        # trainer loop's modulo)
+        "--eval-interval", "0",
+        "--checkpoint-interval", "0",
         "--num-workers", "2",
         "--workspace", str(tmp_path / "ws"),
         "--total-steps", "100",

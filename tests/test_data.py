@@ -167,3 +167,86 @@ def test_pack_roundtrip(tmp_path):
 
     s = EvaluateSampler(index, batch_size=2)
     assert sum(len(b) for b in iter(s)) == 3
+
+
+def test_pack_stores_bare_youtube_id(tmp_path):
+    """Packed audio_name is the reference schema: segment suffix stripped
+    to the bare id, S20 (reference dataset.py:194,232)."""
+    from scipy.io import wavfile
+    import h5py
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    wavfile.write(str(audio_dir / "testclip0_0_10000.wav"), 32000,
+                  (np.random.RandomState(0).randn(32000) * 3000).astype(np.int16))
+    csv_path = tmp_path / "meta.csv"
+    csv_path.write_text('# h\n# h\n# h\ntestclip0, 0.000, 10.000, "/m/09x0r"\n')
+    packed = pack_waveforms_to_hdf5(
+        str(csv_path), str(audio_dir), str(tmp_path / "packed.h5"),
+        clip_samples=32000, audio_ext=".wav")
+    with h5py.File(packed, "r") as hf:
+        assert hf["audio_name"].dtype.str == "|S20"
+        assert hf["audio_name"][0] == b"testclip0"
+
+
+def test_blacklist_chain_excludes_ids(tmp_path):
+    """End-to-end contamination guard: DCASE segment CSV -> blacklist CLI ->
+    sampler skips every clip of the blacklisted YouTube ids (the chain the
+    reference create_black_list.py + data_generator.py:209 advertises)."""
+    from audioset_convnext_inf_tpu.cli.pack_dataset import main as pack_main
+
+    _, index = make_packed_and_index(str(tmp_path), n_clips=16,
+                                     clip_samples=8000)
+    # synthetic audio names are "Y0000003xxx_100_200": bare id = first 11
+    dcase = tmp_path / "testing_set.csv"
+    dcase.write_text(
+        "Y0000003xxx_60.000_70.000.wav\t2.3\t4.5\tTrain horn\n"
+        "Y0000007xxx_10.000_20.000.wav,0.0,3.1,Air horn\n"
+        "Y0000003xxx_60.000_70.000.wav\t5.0\t6.0\tTrain horn\n"  # dup id
+    )
+    blk = tmp_path / "black_list.csv"
+    assert pack_main(["blacklist", "--csvs", str(dcase), "--out", str(blk)]) == 0
+    with open(blk) as f:
+        assert sorted(line.strip() for line in f if line.strip()) == [
+            "Y0000003xxx", "Y0000007xxx"]
+
+    banned = {3, 7}
+    for cls in (TrainSampler, BalancedTrainSampler, AlternateTrainSampler):
+        sampler = cls(index, batch_size=8, black_list_csv=str(blk))
+        it = iter(sampler)
+        drawn = {m["index_in_hdf5"] for _ in range(30) for m in next(it)}
+        assert not (drawn & banned), cls.__name__
+        assert len(drawn) == 14, cls.__name__  # everything else still drawn
+
+
+def test_sampler_snapshots_are_copy_free_and_wrap_safe(tmp_path):
+    """state_dict shares permutation arrays (called per batch by the
+    prefetching loader; copying is ~16-40 MB/batch on full AudioSet), and
+    epoch wraps REPLACE the arrays so captured snapshots stay valid."""
+    _, index = make_packed_and_index(str(tmp_path), n_clips=16,
+                                     clip_samples=8000)
+    s = TrainSampler(index, batch_size=8, random_seed=7)
+    snap = s.state_dict()
+    assert snap["indexes"] is s.indexes  # shared, not copied
+    frozen = snap["indexes"].copy()
+    it = iter(s)
+    for _ in range(10):  # run past several epoch wraps (16 clips)
+        next(it)
+    np.testing.assert_array_equal(snap["indexes"], frozen)  # not mutated
+
+    # restoring the pre-wrap snapshot reproduces the exact stream
+    s2 = TrainSampler(index, batch_size=8, random_seed=99)
+    s2.load_state_dict(snap)
+    s3 = TrainSampler(index, batch_size=8, random_seed=7)
+    a = [m["index_in_hdf5"] for b in zip(range(6), iter(s2)) for m in b[1]]
+    b = [m["index_in_hdf5"] for n in zip(range(6), iter(s3)) for m in n[1]]
+    assert a == b
+
+    bal = BalancedTrainSampler(index, batch_size=8, random_seed=7)
+    snap = bal.state_dict()
+    assert snap["indexes_per_class"][0] is bal.indexes_per_class[0]
+    frozen0 = snap["indexes_per_class"][0].copy()
+    it = iter(bal)
+    for _ in range(20):  # tiny classes wrap many times
+        next(it)
+    np.testing.assert_array_equal(snap["indexes_per_class"][0], frozen0)

@@ -98,3 +98,62 @@ def test_frontend_respects_center(rng):
     assert nc.shape[2] == cfg_nc.num_frames(32000)
     assert c.shape[2] == cfg_c.num_frames(32000)
     assert nc.shape[2] < c.shape[2]
+
+
+def test_hf_model_id_reaches_hub(monkeypatch, tmp_path):
+    """Namespaced HuggingFace ids ('org/name', the documented reference
+    usage, convnext.py:404-511) must route to hf_hub_download - they are
+    not missing local paths despite containing a separator."""
+    from audioset_convnext_inf_tpu.checkpoint.io import _resolve_checkpoint_path
+
+    calls = []
+
+    def fake_hub(model_id, filename, repo_type=None, revision=None,
+                 library_name=None):
+        calls.append((model_id, filename, revision))
+        p = tmp_path / filename
+        p.write_bytes(b"x")
+        return str(p)
+
+    import huggingface_hub
+
+    monkeypatch.setattr(huggingface_hub, "hf_hub_download", fake_hub)
+    out = _resolve_checkpoint_path("topel/ConvNeXt-Tiny-AT")
+    assert calls[0] == ("topel/ConvNeXt-Tiny-AT", "model.safetensors", None)
+    assert out.endswith("model.safetensors")
+    out = _resolve_checkpoint_path("topel/ConvNeXt-Tiny-AT@v2")
+    assert calls[-2][2] == "v2"  # [-1] is the courtesy config.yaml download
+    # explicit paths still fail fast rather than hitting the hub
+    for bad in ("/nonexistent/x.pth", "./missing/model.safetensors",
+                "missing_dir/sub/model", "missing.pth"):
+        with pytest.raises(FileNotFoundError):
+            _resolve_checkpoint_path(bad)
+
+
+def test_url_download_is_atomic(monkeypatch, tmp_path):
+    """An interrupted checkpoint download must not poison the cache: the
+    partial file is left under a temp name and the next call retries."""
+    from audioset_convnext_inf_tpu.checkpoint.io import _resolve_checkpoint_path
+
+    import urllib.request
+
+    state = {"n": 0}
+
+    def flaky_retrieve(url, dst):
+        state["n"] += 1
+        with open(dst, "wb") as f:
+            f.write(b"partial")
+        if state["n"] == 1:
+            raise OSError("connection dropped")
+        with open(dst, "wb") as f:
+            f.write(b"complete checkpoint bytes")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", flaky_retrieve)
+    monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+    url = "https://zenodo.org/record/9/ckpt.pth"
+    with pytest.raises(OSError):
+        _resolve_checkpoint_path(url)
+    # the failed attempt must not have installed a cache entry
+    out = _resolve_checkpoint_path(url)
+    assert open(out, "rb").read() == b"complete checkpoint bytes"
+    assert state["n"] == 2
