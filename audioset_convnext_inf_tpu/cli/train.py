@@ -94,8 +94,6 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from audioset_convnext_inf_tpu.checkpoint import load_checkpoint, save_checkpoint
     from audioset_convnext_inf_tpu.data import (
@@ -198,10 +196,19 @@ def main(argv=None) -> int:
     )
 
     # one Evaluator for the whole run: its jitted forward takes params as an
-    # argument, so fresh params per eval reuse the same compiled program
-    evaluator = Evaluator(params, cfg) if is_primary() and (
-        args.eval_indexes or args.bal_indexes
-    ) else None
+    # argument, so fresh params per eval reuse the same compiled program.
+    # Only the primary evaluates; under multi-host SLURM its Evaluator must
+    # span only the LOCAL submesh - a global-mesh program launched from one
+    # process would touch non-addressable devices and crash/deadlock at the
+    # first eval interval. The other hosts simply wait at the next train
+    # step's gradient all-reduce while the primary evaluates locally.
+    if is_primary() and (args.eval_indexes or args.bal_indexes):
+        from audioset_convnext_inf_tpu.parallel.mesh import get_mesh
+
+        eval_mesh = get_mesh(jax.local_devices()) if jax.process_count() > 1 else None
+        evaluator = Evaluator(params, cfg, mesh=eval_mesh)
+    else:
+        evaluator = None
 
     def eval_fn(params, iteration):
         if evaluator is None:

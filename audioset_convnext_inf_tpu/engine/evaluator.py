@@ -14,7 +14,6 @@ is a per-batch H2D/D2H ping-pong. The TPU-native loop:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Iterable, Optional
 
 import jax
@@ -46,12 +45,11 @@ class Evaluator:
         frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
 
         def _forward(params, waveform):
-            if waveform.dtype == jnp.int16:
-                # on-device decode (utilities.py:226-227 semantics): halves
-                # host->device transfer vs shipping float32
-                from audioset_convnext_inf_tpu.config import INT16_SCALE
+            # on-device int16 decode (ops/pcm.py): halves host->device
+            # transfer vs shipping float32
+            from audioset_convnext_inf_tpu.ops.pcm import decode_pcm_if_int16
 
-                waveform = waveform.astype(jnp.float32) * INT16_SCALE
+            waveform = decode_pcm_if_int16(waveform)
             out = F.forward(params, waveform, cfg, frontend=frontend, compute_dtype=compute_dtype)
             return out["clipwise_output"]
 

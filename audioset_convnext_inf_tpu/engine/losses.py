@@ -46,9 +46,27 @@ def set_acc_loss_objective(binarized_output: Array, y_true: Array) -> Array:
     return -tp.mean()
 
 
+def _objective_as_loss(objective):
+    """Adapt an (output_array, target_array) objective to the engine's
+    loss contract loss_fn(output_dict, target_dict). The reference registry
+    returns F1_loss_objective with its raw-array signature (losses.py:
+    13-17), which cannot actually be plugged into its own training loop;
+    here every registered loss satisfies the contract."""
+
+    def loss(output_dict: dict, target_dict: dict) -> Array:
+        return objective(output_dict["clipwise_output"],
+                         target_dict["target"].astype(jnp.float32))
+
+    return loss
+
+
 def get_loss_func(loss_type: str):
     if loss_type == "clip_bce":
         return clip_bce
     if loss_type == "f1micro":
-        return f1_loss_objective
+        return _objective_as_loss(f1_loss_objective)
+    if loss_type == "f1macro":
+        return _objective_as_loss(macro_f1_loss_objective)
+    if loss_type == "set_acc":
+        return _objective_as_loss(set_acc_loss_objective)
     raise ValueError(f"unknown loss type {loss_type!r}")

@@ -2,10 +2,10 @@
 
 Same math as the reference Evaluator (pytorch/evaluate.py:44-58) and
 utilities.d_prime (utilities.py:246-248); runs host-side on gathered
-outputs. Classes without positives (or without negatives) are excluded the
-way sklearn's ``average=None`` would raise - we mask them to NaN and report
-nanmeans, which matches the reference's behavior on the official eval sets
-(every class populated => identical numbers).
+outputs. Classes without positives are masked to NaN for AP, classes
+without positives OR without negatives for AUC (where sklearn raises);
+summaries report nanmeans. On the official eval sets every class is
+populated both ways => identical numbers to the reference.
 """
 
 from __future__ import annotations
@@ -31,18 +31,23 @@ def evaluate_clipwise(
     n_classes = target.shape[1]
 
     pos = target.sum(axis=0)
-    valid = (pos > 0) & (pos < target.shape[0])
+    # AP is well-defined whenever a class has any positive (sklearn computes
+    # it for all-positive classes too); AUC additionally needs a negative.
+    # Masking all-positive classes out of AP would silently diverge from the
+    # reference on eval subsets with an always-positive class.
+    ap_valid = pos > 0
+    auc_valid = (pos > 0) & (pos < target.shape[0])
 
     ap = np.full(n_classes, np.nan)
     auc = np.full(n_classes, np.nan)
-    if valid.all():
-        ap = skm.average_precision_score(target, clipwise_output, average=None)
-        auc = skm.roc_auc_score(target, clipwise_output, average=None)
-    else:
-        idx = np.where(valid)[0]
-        if len(idx):
-            ap[idx] = skm.average_precision_score(target[:, idx], clipwise_output[:, idx], average=None)
-            auc[idx] = skm.roc_auc_score(target[:, idx], clipwise_output[:, idx], average=None)
+    idx = np.where(ap_valid)[0]
+    if len(idx):
+        ap[idx] = skm.average_precision_score(
+            target[:, idx], clipwise_output[:, idx], average=None)
+    idx = np.where(auc_valid)[0]
+    if len(idx):
+        auc[idx] = skm.roc_auc_score(
+            target[:, idx], clipwise_output[:, idx], average=None)
 
     return {"average_precision": ap, "auc": auc, "d_prime": d_prime(auc)}
 

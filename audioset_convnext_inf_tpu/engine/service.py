@@ -35,6 +35,10 @@ class ServiceOverloaded(RuntimeError):
     """The request queue is full (``max_queued``); shed load upstream."""
 
 
+class ServiceStopped(RuntimeError):
+    """The service was stopped before this request could be served."""
+
+
 class ShardedModel:
     """Mesh-sharded serving forward with the live-model call contract.
 
@@ -77,8 +81,9 @@ class ShardedModel:
 
         def _call(fn):
             def wrapped(params, waveform):
-                if waveform.dtype == jnp.int16:
-                    waveform = waveform.astype(jnp.float32) * INT16_SCALE
+                from audioset_convnext_inf_tpu.ops.pcm import decode_pcm_if_int16
+
+                waveform = decode_pcm_if_int16(waveform)
                 return fn(params, waveform, cfg=cfg, frontend=frontend,
                           compute_dtype=compute_dtype)
             if self.mesh.size > 1:
@@ -157,6 +162,19 @@ class InferenceService:
         self._stop.set()
         if self._started:
             self._thread.join(timeout=10)
+        # fail queued-but-never-dispatched requests immediately: without
+        # this their futures stay pending forever and callers block for
+        # their full result() timeout (submit() also rejects once stopped)
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                try:
+                    fut.set_exception(ServiceStopped("service stopped"))
+                except Exception:  # lost a set race with submit(): done
+                    pass
 
     def __enter__(self):
         return self.start()
@@ -194,6 +212,8 @@ class InferenceService:
             wav = np.pad(wav, (0, self.clip_samples - len(wav)))
         else:
             wav = wav[: self.clip_samples]
+        if self._stop.is_set():
+            raise ServiceStopped("service stopped")
         fut: Future = Future()
         try:
             self._queue.put_nowait((wav, fut))
@@ -203,6 +223,15 @@ class InferenceService:
             raise ServiceOverloaded(
                 f"request queue full ({self.max_queued} clips queued)"
             ) from None
+        if self._stop.is_set():
+            # raced with stop(): the worker may already have exited and the
+            # drain may have missed this entry - fail it here (first setter
+            # wins; the drain checks done() before setting)
+            try:
+                fut.set_exception(ServiceStopped("service stopped"))
+            except Exception:
+                pass
+            raise ServiceStopped("service stopped")
         with self._stats_lock:
             self.stats["requests"] += 1
         return fut

@@ -18,7 +18,6 @@ TPU-native rebuild of the reference DDP train loop (main.py:117-923):
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
 from dataclasses import dataclass
@@ -30,7 +29,6 @@ import numpy as np
 import optax
 
 from audioset_convnext_inf_tpu.config import ConvNeXtConfig
-from audioset_convnext_inf_tpu.engine import metrics as M
 from audioset_convnext_inf_tpu.engine.losses import clip_bce
 from audioset_convnext_inf_tpu.models import convnext as F
 from audioset_convnext_inf_tpu.ops.frontend import LogMelFrontend
@@ -225,14 +223,13 @@ def make_train_step(
             return loss, new_bn
 
     def train_step(params, opt_state, waveform, target, step_idx, key):
-        if waveform.dtype == jnp.int16:
-            # on-device int16 PCM decode (dtype is static under jit). Same
-            # f32 multiply-by-constant as the host decode (config.INT16_SCALE)
-            # so int16-ingested training is BIT-IDENTICAL to f32 ingest
-            # while shipping half the bytes (tests/test_trainer.py).
-            from audioset_convnext_inf_tpu.config import INT16_SCALE
+        # on-device int16 PCM decode (ops/pcm.py; dtype is static under
+        # jit). Same f32 multiply-by-constant as the host decode, so int16-
+        # ingested training is BIT-IDENTICAL to f32 ingest while shipping
+        # half the bytes (tests/test_trainer.py).
+        from audioset_convnext_inf_tpu.ops.pcm import decode_pcm_if_int16
 
-            waveform = waveform.astype(jnp.float32) * INT16_SCALE
+        waveform = decode_pcm_if_int16(waveform)
         step_key = jax.random.fold_in(key, step_idx)
         (loss, new_bn), grads = jax.value_and_grad(loss_and_aux, has_aux=True)(
             params, waveform, target, step_key

@@ -132,12 +132,17 @@ class TransferTrainer:
                 loss = self.step(batch["audio"], batch["tags"])
                 if it % log_interval == 0:
                     logging.info("epoch %d it %d loss %.5f", epoch, it, loss)
-            mAP = float("nan")
+            # history/checkpoint naming record the VAL metric (model
+            # selection must not key on the test set); test mAP is logged
+            # only. Without a val loader, fall back to whatever ran.
+            epoch_maps = {}
             for tag, fn in (("val", val_loader_fn), ("test", test_loader_fn)):
                 if fn is None:
                     continue
-                mAP = self.evaluate(fn())
-                logging.info("%s - epoch %d - mAP: %.4f", tag, epoch, mAP)
+                epoch_maps[tag] = self.evaluate(fn())
+                logging.info("%s - epoch %d - mAP: %.4f", tag, epoch,
+                             epoch_maps[tag])
+            mAP = epoch_maps.get("val", epoch_maps.get("test", float("nan")))
             history.append(mAP)
             if checkpoint_fn is not None:
                 checkpoint_fn(epoch, mAP)

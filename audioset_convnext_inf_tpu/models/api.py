@@ -78,17 +78,15 @@ class ConvNeXt:
         self.frontend = LogMelFrontend(cfg.frontend, compute_dtype=compute_dtype)
 
         def _with_pcm_decode(fn):
-            # int16 waveforms decode on-device (x / 32767, the reference's
+            # int16 waveforms decode on-device (ops/pcm.py, the reference's
             # utilities.py:226-227 semantics) inside the jitted program:
             # shipping PCM halves host->device bandwidth on the serving path.
             # dtype is static under jit, so the branch costs nothing.
             def wrapped(params, waveform):
-                if waveform.dtype == jnp.int16:
-                    from audioset_convnext_inf_tpu.config import INT16_SCALE
+                from audioset_convnext_inf_tpu.ops.pcm import decode_pcm_if_int16
 
-                    waveform = waveform.astype(jnp.float32) * INT16_SCALE
-                return fn(params, waveform, cfg=cfg, frontend=self.frontend,
-                          compute_dtype=compute_dtype)
+                return fn(params, decode_pcm_if_int16(waveform), cfg=cfg,
+                          frontend=self.frontend, compute_dtype=compute_dtype)
             return wrapped
 
         self._jit_forward = jax.jit(_with_pcm_decode(F.forward))

@@ -40,6 +40,26 @@ def main() -> int:
     x = jax.device_put(np.ones((8, 4), np.float32), NamedSharding(mesh, P("data")))
     total = float(jax.jit(jnp.sum)(x))
     assert total == 32.0, total
+
+    # primary-only eval over the LOCAL submesh (cli/train.py's multi-host
+    # eval recipe): a single process must be able to run a full Evaluator
+    # forward while the other process does nothing - the global mesh would
+    # touch non-addressable devices here and crash
+    if is_primary():
+        from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+        from audioset_convnext_inf_tpu.engine.evaluator import Evaluator
+        from audioset_convnext_inf_tpu.models import convnext as F
+        from audioset_convnext_inf_tpu.parallel.mesh import get_mesh
+
+        cfg = ConvNeXtConfig(name="dist_eval", depths=(1, 1, 1, 1),
+                             dims=(8, 16, 32, 64), drop_path_rate=0.0)
+        ev = Evaluator(F.init_params(jax.random.PRNGKey(0), cfg), cfg,
+                       mesh=get_mesh(jax.local_devices()))
+        wav = (np.random.RandomState(0).randn(2, 8000) * 0.1).astype(np.float32)
+        probs = ev.infer_probs([{"waveform": wav}])["clipwise_output"]
+        assert probs.shape == (2, 527) and np.isfinite(probs).all()
+        print(f"proc {proc_id}: local-submesh eval OK {probs.shape}", flush=True)
+
     print(f"proc {proc_id}: OK global_devices=4 sum={total}", flush=True)
     return 0
 

@@ -204,3 +204,40 @@ def test_verify_checkpoint_gate(tmp_path):
         [ckpt, "--wav", "tests/fixtures/f62-S-v2swA_200000_210000.wav"]
     )
     assert rc == 1  # random weights cannot reproduce the golden indexes
+
+
+def test_convert_cli_preserves_nondefault_config(tmp_path):
+    """Converting a native checkpoint of a non-tiny model must use ITS
+    config (not assume convnext_tiny) so the output round-trips with the
+    right architecture; flat inputs take --model."""
+    import jax
+
+    from audioset_convnext_inf_tpu.checkpoint import (load_checkpoint,
+                                                      save_checkpoint)
+    from audioset_convnext_inf_tpu.cli.convert import main
+    from audioset_convnext_inf_tpu.config import ConvNeXtConfig
+    from audioset_convnext_inf_tpu.models import convnext as F
+
+    cfg = ConvNeXtConfig(name="convnext_atto", depths=(2, 2, 6, 2),
+                         dims=(40, 80, 160, 320), drop_path_rate=0.0)
+    params = F.init_params(jax.random.PRNGKey(1), cfg)
+    native = str(tmp_path / "atto_ck")
+    save_checkpoint(native, params, cfg)
+
+    out = str(tmp_path / "atto_out")
+    assert main([native, out, "--to", "native"]) == 0
+    state = load_checkpoint(out)
+    assert state["config"].dims == (40, 80, 160, 320)
+    assert state["config"].name == "convnext_atto"
+    np.testing.assert_array_equal(np.asarray(params["head"]["w"]),
+                                  np.asarray(state["params"]["head"]["w"]))
+
+    # flat safetensors + --model: converter builds the matching config
+    st = str(tmp_path / "atto.safetensors")
+    assert main([native, st, "--to", "safetensors"]) == 0
+    back = str(tmp_path / "atto_back")
+    assert main([st, back, "--to", "native", "--model", "convnext_atto"]) == 0
+    state2 = load_checkpoint(back)
+    assert state2["config"].dims == (40, 80, 160, 320)
+    np.testing.assert_array_equal(np.asarray(params["head"]["w"]),
+                                  np.asarray(state2["params"]["head"]["w"]))

@@ -60,6 +60,26 @@ def test_metrics_handle_empty_classes(rng):
     assert np.isfinite(summarize(stats)["mAP"])
 
 
+def test_metrics_all_positive_class_keeps_ap(rng):
+    """A class positive in EVERY clip still has a defined AP (sklearn
+    computes it; the reference would too) - only AUC needs a negative."""
+    from sklearn import metrics as skm
+
+    n, c = 40, 3
+    target = np.zeros((n, c), np.float32)
+    target[:, 0] = 1.0                     # all-positive
+    target[:, 1] = rng.rand(n) > 0.5       # mixed
+    probs = rng.rand(n, c)
+    stats = evaluate_clipwise(probs, target)
+    assert np.isfinite(stats["average_precision"][0])
+    np.testing.assert_allclose(
+        stats["average_precision"][0],
+        skm.average_precision_score(target[:, 0], probs[:, 0]))
+    assert np.isnan(stats["auc"][0])       # AUC undefined without negatives
+    assert np.isfinite(stats["auc"][1])
+    assert np.isnan(stats["average_precision"][2])  # no positives at all
+
+
 def test_evaluator_sharded_over_virtual_mesh(synth):
     """End-to-end eval on 8 virtual CPU devices; padding + trimming correct."""
     _, index = synth
@@ -176,3 +196,21 @@ def test_embed_long_audio_stitches_time_axis():
     np.testing.assert_allclose(levels, [0.0, 1.0, 0.5])
     np.testing.assert_allclose(out["scene_embedding"],
                                out["windowwise_scene"].mean(0))
+
+
+def test_loss_registry_contract(rng):
+    """Every registered loss satisfies loss_fn(output_dict, target_dict) -
+    the engine contract (the reference registry returns F1_loss_objective
+    with a raw-array signature that cannot plug into its own loop)."""
+    import jax.numpy as jnp
+
+    from audioset_convnext_inf_tpu.engine.losses import get_loss_func
+
+    out = {"clipwise_output": jnp.asarray(rng.rand(8, 527).astype(np.float32)),
+           "clipwise_logits": jnp.asarray(rng.randn(8, 527).astype(np.float32))}
+    tgt = {"target": jnp.asarray((rng.rand(8, 527) > 0.97).astype(np.float32))}
+    for name in ("clip_bce", "f1micro", "f1macro", "set_acc"):
+        loss = float(get_loss_func(name)(out, tgt))
+        assert np.isfinite(loss), name
+    with pytest.raises(ValueError):
+        get_loss_func("nope")

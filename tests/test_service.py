@@ -400,3 +400,35 @@ def test_http_server_mesh_flag():
         np.testing.assert_allclose(emb, ref_emb, atol=1e-5)
     finally:
         models_mod.convnext_tiny = real_factory
+
+
+def test_stop_fails_queued_requests_immediately():
+    """stop() must fail still-queued futures with ServiceStopped instead of
+    leaving them pending until the caller's result() timeout; submit()
+    after stop is rejected up front."""
+    import time
+
+    from audioset_convnext_inf_tpu.engine.service import ServiceStopped
+
+    class _SlowModel:
+        def forward(self, wav):
+            time.sleep(0.2)  # hold the worker so the queue backs up
+            p = np.zeros((wav.shape[0], 527), np.float32)
+            return {"clipwise_output": p, "clipwise_logits": p}
+
+    svc = InferenceService(_SlowModel(), batch_size=2, max_wait_ms=1,
+                           clip_samples=100).start()
+    futs = [svc.submit(np.zeros(100, np.float32)) for _ in range(12)]
+    t0 = time.monotonic()
+    svc.stop()
+    # every future resolves promptly: served, or failed with ServiceStopped
+    outcomes = []
+    for f in futs:
+        try:
+            outcomes.append(("ok", f.result(timeout=5)))
+        except ServiceStopped:
+            outcomes.append(("stopped", None))
+    assert time.monotonic() - t0 < 10
+    assert any(kind == "stopped" for kind, _ in outcomes)  # queue was deep
+    with pytest.raises(ServiceStopped):
+        svc.submit(np.zeros(100, np.float32))
